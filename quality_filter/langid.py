@@ -1,0 +1,157 @@
+"""fastText-style character/byte n-gram language ID as a vectorized
+pandas UDF with a broadcast model artifact.
+
+The reference *consumes* per-line language codes (``seg_langs`` /
+``lang``+``prob``, read at ``src/classifier_inference_pipeline.py:111,115``,
+used as the salvage filter at ``src/salvage_low_quality_data.py:186``) that
+upstream HPLT computed; here we compute them (BASELINE.json north_star):
+a hashed byte-trigram log-probability profile per language, built
+deterministically from small seed corpora embedded below, evaluated
+batch-vectorized in numpy (quality_filter.ngram) — no per-row Python in
+the scoring math, Arrow-batched transfer, artifact broadcast once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from quality_filter import ngram
+
+UNKNOWN = "und"
+MIN_BYTES = 3  # shorter than one trigram context → und
+SHARPNESS = 8.0  # softmax temperature over mean log-probs
+
+# Deterministic seed corpora (original sentences, a few per language).
+SEED_CORPORA: dict[str, list[str]] = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "we reviewed the results together and agreed on the next steps for the project",
+        "please let me know when the report is ready so we can schedule the meeting",
+        "this approach works well because the data is already sorted by time",
+        "thanks for your help with the analysis, the numbers look consistent now",
+        "could you rerun the last step and check whether the totals still match",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt über den faulen hund am flussufer",
+        "wir haben die ergebnisse gemeinsam geprüft und die nächsten schritte vereinbart",
+        "bitte sag mir bescheid, wenn der bericht fertig ist, damit wir das treffen planen können",
+        "dieser ansatz funktioniert gut, weil die daten bereits nach zeit sortiert sind",
+        "danke für deine hilfe bei der auswertung, die zahlen sehen jetzt stimmig aus",
+        "die arbeitsgruppe hat den vorschlag ausführlich geprüft und zugestimmt",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+        "nous avons examiné les résultats ensemble et convenu des prochaines étapes",
+        "merci de me prévenir quand le rapport sera prêt pour planifier la réunion",
+        "cette approche fonctionne bien parce que les données sont déjà triées",
+        "merci pour ton aide avec l'analyse, les chiffres semblent cohérents maintenant",
+        "le comité a examiné la proposition en détail et a donné son accord",
+    ],
+    "es": [
+        "el rápido zorro marrón salta sobre el perro perezoso cerca del río",
+        "revisamos los resultados juntos y acordamos los próximos pasos del proyecto",
+        "avísame cuando el informe esté listo para programar la reunión",
+        "este enfoque funciona bien porque los datos ya están ordenados por tiempo",
+        "gracias por tu ayuda con el análisis, los números se ven consistentes ahora",
+        "el comité revisó la propuesta en detalle y dio su aprobación",
+    ],
+    "it": [
+        "la veloce volpe marrone salta sopra il cane pigro vicino al fiume",
+        "abbiamo esaminato i risultati insieme e concordato i prossimi passi",
+        "fammi sapere quando il rapporto sarà pronto così fissiamo la riunione",
+        "questo approccio funziona bene perché i dati sono già ordinati per tempo",
+        "grazie per il tuo aiuto con l'analisi, i numeri ora sembrano coerenti",
+    ],
+    "pt": [
+        "a rápida raposa marrom pula sobre o cão preguiçoso perto do rio",
+        "revisamos os resultados juntos e combinamos os próximos passos do projeto",
+        "avise quando o relatório estiver pronto para marcarmos a reunião",
+        "esta abordagem funciona bem porque os dados já estão ordenados por tempo",
+        "obrigado pela ajuda com a análise, os números parecem consistentes agora",
+    ],
+    "fi": [
+        "nopea ruskea kettu hyppää laiskan koiran yli joen rannalla",
+        "kävimme tulokset yhdessä läpi ja sovimme projektin seuraavista askelista",
+        "kerro kun raportti on valmis, niin sovitaan kokouksen ajankohta",
+        "tämä lähestymistapa toimii hyvin koska aineisto on jo järjestetty ajan mukaan",
+        "kiitos avusta analyysin kanssa, luvut näyttävät nyt johdonmukaisilta",
+    ],
+    "ru": [
+        "быстрая коричневая лиса прыгает через ленивую собаку у реки",
+        "мы вместе просмотрели результаты и согласовали следующие шаги проекта",
+        "сообщите когда отчет будет готов чтобы назначить встречу",
+        "этот подход работает хорошо потому что данные уже отсортированы по времени",
+        "спасибо за помощь с анализом, цифры теперь выглядят согласованно",
+    ],
+    "zh": [
+        "敏捷的棕色狐狸跳过了河边那只懒狗",
+        "我们一起审查了结果并商定了项目的后续步骤",
+        "报告准备好后请告诉我以便安排会议时间",
+        "这种方法效果很好因为数据已经按时间排序",
+        "谢谢你帮忙分析这些数字现在看起来一致了",
+        "委员会详细审查了该提案并表示同意下个季度开始实施",
+    ],
+}
+
+
+def build_artifact() -> tuple[list[str], np.ndarray]:
+    """(langs, profiles[L, DIM]) — smoothed log-prob profile per language."""
+    langs = sorted(SEED_CORPORA)
+    profiles = np.stack(
+        [ngram.log_profile(ngram.train_counts(SEED_CORPORA[lang])) for lang in langs]
+    )
+    return langs, profiles
+
+
+def score_batch(
+    texts: pd.Series, langs: list[str], profiles: np.ndarray
+) -> pd.DataFrame:
+    """Vectorized langid over one Arrow batch → DataFrame(lang, lang_prob)."""
+    vals = texts.fillna("").tolist()
+    hashes, offsets = ngram.batch_trigram_hashes(vals)
+    counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
+    # (L, N) per-position log-probs → (L, rows) sums → mean per trigram
+    per_lang = ngram.segment_sums(profiles[:, hashes], offsets)
+    mean_lp = per_lang / np.maximum(counts, 1.0)[None, :]
+    z = mean_lp * SHARPNESS
+    z -= z.max(axis=0, keepdims=True)
+    ez = np.exp(z)
+    probs = ez / ez.sum(axis=0, keepdims=True)
+    best = probs.argmax(axis=0)
+    n_rows = len(vals)
+    lang_out = np.array(langs, dtype=object)[best]
+    prob_out = probs[best, np.arange(n_rows)]
+    short = counts < MIN_BYTES
+    lang_out[short] = UNKNOWN
+    prob_out = np.where(short, 0.0, np.round(prob_out, 3))
+    return pd.DataFrame({"lang": lang_out, "lang_prob": prob_out})
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ``lang`` / ``lang_prob`` columns via a SCALAR_ITER pandas UDF
+    (model loaded once per executor python worker, broadcast artifact)."""
+    spark = df.sparkSession
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    langs, profiles = build_artifact()
+    bc = spark.sparkContext.broadcast((langs, profiles))
+
+    @pandas_udf("struct<lang:string, lang_prob:double>")
+    def _langid(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        langs_, profiles_ = bc.value
+        for texts in batches:
+            yield score_batch(texts, langs_, profiles_)
+
+    out = df.withColumn("_lid", _langid(F.col(text_col)))
+    return (
+        out.withColumn("lang", F.col("_lid.lang"))
+        .withColumn("lang_prob", F.col("_lid.lang_prob"))
+        .drop("_lid")
+    )

@@ -1,0 +1,100 @@
+"""Shared vectorized byte-trigram machinery for the langid and perplexity
+scorers.
+
+Replaces the reference's GPU model invocations
+(``src/classifier_inference_pipeline.py:61-89``) with hashed byte-trigram
+linear models evaluated in numpy over whole Arrow batches: the entire
+batch's UTF-8 bytes are concatenated once, rolling trigram hashes are
+computed with three shifted vector ops, and per-row sums come from
+``np.add.reduceat`` — no per-row Python in the scoring math.
+
+Determinism: each row is prefixed with two NUL pad bytes, so every trigram
+(including the two pad-crossing ones) is a pure function of that row's own
+bytes — results are independent of batch composition / partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DIM = 1 << 15  # hash buckets
+_MASK = DIM - 1
+_MUL = 65599  # classic sdbm-style rolling multiplier
+
+
+def _batch_hashes(
+    texts: list[str] | "np.ndarray",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Internal: compacted (trigram_hashes, context_bigram_hashes, offsets)
+    for a batch.  Row i owns span ``[offsets[i], offsets[i+1])`` of both
+    hash arrays; every row contributes exactly ``len(utf8_bytes)``
+    positions thanks to the 2-byte NUL prefix (position j's trigram covers
+    bytes j-2..j, its context bigram bytes j-2..j-1)."""
+    bufs = []
+    lengths = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        lengths[i] = len(b)
+        bufs.append(b"\x00\x00" + b)
+    if not bufs:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.zeros(1, dtype=np.int64)
+    blob = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    h2 = (blob[:-2] * _MUL + blob[1:-1]) & _MASK
+    h3 = ((blob[:-2] * _MUL + blob[1:-1]) * _MUL + blob[2:]) & _MASK
+    # row i's positions start at its padded start; padded regions of the
+    # NEXT row would otherwise bleed in, so compact to per-row spans
+    padded = lengths + 2
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(padded[:-1], out=starts[1:])
+    keep = np.zeros(h3.shape[0], dtype=bool)
+    ends = starts + lengths
+    for i in range(len(texts)):
+        keep[starts[i] : ends[i]] = True
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    return h3[keep], h2[keep], offsets
+
+
+def batch_trigram_hashes(texts: list[str] | "np.ndarray") -> tuple[np.ndarray, np.ndarray]:
+    """Hash all byte trigrams of a batch of strings → (hashes, offsets)."""
+    h3, _, offsets = _batch_hashes(texts)
+    return h3, offsets
+
+
+def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum ``values`` over the row spans described by ``offsets`` along the
+    last axis (empty spans → 0.0).  ``values`` may be 1-D (N,) or 2-D
+    (L, N); result is (n_rows,) or (L, n_rows).
+
+    Uses ``np.add.reduceat`` restricted to non-empty spans: each segment is
+    summed sequentially left-to-right over only that row's values, so a
+    row's result is bit-identical regardless of batch composition (a
+    prefix-sum-difference scheme would not be).  Because spans are
+    contiguous, dropping empty spans leaves start offsets that still end
+    exactly at the next non-empty span's start.
+    """
+    n = offsets.shape[0] - 1
+    lead_shape = values.shape[:-1]
+    out = np.zeros(lead_shape + (n,), dtype=np.float64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if values.shape[-1] == 0 or not nonempty.any():
+        return out
+    starts = offsets[:-1][nonempty]
+    sums = np.add.reduceat(values, starts, axis=-1)
+    out[..., nonempty] = sums
+    return out
+
+
+def train_counts(corpus: list[str]) -> np.ndarray:
+    """Hashed trigram counts of a corpus (float64[DIM])."""
+    hashes, _ = batch_trigram_hashes(corpus)
+    counts = np.bincount(hashes, minlength=DIM).astype(np.float64)
+    return counts
+
+
+def log_profile(counts: np.ndarray, alpha: float = 0.5) -> np.ndarray:
+    """Additive-smoothed log-probability profile over buckets."""
+    total = counts.sum()
+    return np.log((counts + alpha) / (total + alpha * DIM))

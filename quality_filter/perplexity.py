@@ -1,0 +1,75 @@
+"""KenLM-style byte-trigram perplexity scorer as a vectorized pandas UDF.
+
+The reference's doc-quality gate consumes an upstream score
+(``doc_scores[0] < 5``, ``src/salvage_low_quality_data.py:246``) it never
+computes; here the analogous signal is computed in-engine (BASELINE.json
+north_star): an additive-smoothed trigram language model over hashed byte
+n-grams, trained deterministically on the multilingual seed corpus,
+emitting per-turn ``logppl`` = mean negative log2-probability per byte
+(lower = more natural text).  Same vectorized machinery as langid
+(quality_filter.ngram), broadcast artifact, Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from quality_filter import ngram
+from quality_filter.langid import SEED_CORPORA
+
+SMOOTH_K = 0.1
+# logppl for empty text: defined as the model's uniform-byte cost.
+LOG2 = float(np.log(2.0))
+
+
+def build_artifact() -> tuple[np.ndarray, np.ndarray]:
+    """(lp3[DIM], lp2[DIM]): log(c3+k) and log(c2+k*256) over hashed
+    trigram / context-bigram buckets of the full multilingual seed corpus."""
+    corpus = [s for sents in SEED_CORPORA.values() for s in sents]
+    h3, h2, _ = ngram._batch_hashes(corpus)
+    c3 = np.bincount(h3, minlength=ngram.DIM).astype(np.float64)
+    c2 = np.bincount(h2, minlength=ngram.DIM).astype(np.float64)
+    lp3 = np.log(c3 + SMOOTH_K)
+    lp2 = np.log(c2 + SMOOTH_K * 256.0)
+    return lp3, lp2
+
+
+def score_batch(texts: pd.Series, lp3: np.ndarray, lp2: np.ndarray) -> pd.Series:
+    vals = texts.fillna("").tolist()
+    h3, h2, offsets = ngram._batch_hashes(vals)
+    per_pos = lp3[h3] - lp2[h2]  # log P(byte | 2-byte context)
+    sums = ngram.segment_sums(per_pos, offsets)
+    counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
+    # mean -log2 prob per byte; empty rows → uniform-byte cost 8 bits
+    logppl = np.where(counts > 0, -(sums / np.maximum(counts, 1.0)) / LOG2, 8.0)
+    return pd.Series(np.round(logppl, 3))
+
+
+def with_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a ``logppl`` column (double, bits per byte)."""
+    spark = df.sparkSession
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast(build_artifact())
+
+    @pandas_udf("double")
+    def _ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        lp3, lp2 = bc.value
+        for texts in batches:
+            yield score_batch(texts, lp3, lp2)
+
+    return df.withColumn("logppl", _ppl(F.col(text_col)))
+
+
+def keep_by_perplexity(threshold: float) -> Column:
+    """P1-analog gate: keep iff logppl strictly below threshold (mirrors
+    the strict ``doc_scores[0] < 5`` comparison,
+    ``src/salvage_low_quality_data.py:246``)."""
+    return F.col("logppl") < F.lit(threshold)

@@ -1,0 +1,38 @@
+"""Ship the quality_filter package to executor Python workers.
+
+The pandas-UDF closures (langid / perplexity) are pickled by reference to
+their defining modules, so every executor's Python worker must be able to
+``import quality_filter`` — the ``spark-submit --py-files`` requirement of
+BASELINE.json.  ``ensure_shipped`` makes that automatic for interactive /
+driver-script use: it zips the package once per session and registers it
+with ``SparkContext.addPyFile`` (the programmatic equivalent of
+``--py-files``).  When the job *is* launched with ``--py-files`` this is a
+no-op-cost duplicate registration.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_SHIPPED_KEY = "quality_filter._shipped"
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, _SHIPPED_KEY, False):
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"quality_filter_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+            for py in sorted(pkg_dir.glob("*.py")):
+                zf.write(py, arcname=f"quality_filter/{py.name}")
+    sc.addPyFile(zip_path)
+    setattr(sc, _SHIPPED_KEY, True)

@@ -151,6 +151,15 @@ def synth_transcripts(
         F.timestamp_seconds(
             F.lit(1700000000) + F.col("cidx") * 3600 + F.col("turn_idx") * 60
         ).alias("ts"),
-        *( [F.element_at(lang_arr, tpl_idx + 1).alias("true_lang")] if with_truth else [] ),
+        *(
+            [
+                F.element_at(lang_arr, tpl_idx + 1).alias("true_lang"),
+                F.when(mix < CLEAN_WEIGHT, F.lit("clean"))
+                .otherwise(F.lit("defect"))
+                .alias("true_kind"),
+            ]
+            if with_truth
+            else []
+        ),
     )
     return out

@@ -1,0 +1,77 @@
+"""Salvage pipeline parity: Clean ∧ score>0.9 ∧ lang==document_lang with
+doc pre/post length gates (``src/salvage_low_quality_data.py:176-259``)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from quality_filter.langid import with_langid
+from quality_filter.pipeline import salvage_pipeline
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def langid_transcripts(spark, transcripts):
+    df = with_langid(transcripts).cache()
+    df.count()
+    return df
+
+
+def _oracle_salvage(rows, mode, min_doc_length):
+    convs = defaultdict(list)
+    for r in rows:
+        convs[r["conv_id"]].append(
+            oracle.Turn(
+                conv_id=r["conv_id"],
+                turn_idx=r["turn_idx"],
+                text=r["text"],
+                lang=r["lang"],
+                lang_prob=r["lang_prob"],
+            )
+        )
+    expect = {}
+    for conv_id, turns in convs.items():
+        turns = sorted(turns, key=lambda t: t.turn_idx)
+        # doc pre-gate on ORIGINAL text length
+        if len(oracle.doc_text(turns)) < min_doc_length:
+            continue
+        oracle.score(turns)
+        doc_lang = oracle.document_lang(turns)
+        keep = oracle.keep_flags(turns, salvage_doc_lang=doc_lang)
+        if mode == "filter":
+            survivors = oracle.filter_mode(turns, keep)
+        else:
+            survivors = oracle.trim_mode(turns, keep)
+        survivors = oracle.min_doc_length_filter(survivors, min_doc_length)
+        for t in survivors:
+            expect[(conv_id, t.turn_idx)] = t
+    return expect
+
+
+@pytest.mark.parametrize("mode", ["filter", "trim"])
+@pytest.mark.parametrize("min_len", [1, 250])
+def test_salvage_matches_oracle(spark, langid_transcripts, mode, min_len):
+    rows = langid_transcripts.collect()
+    expect = _oracle_salvage(rows, mode, min_len)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in salvage_pipeline(
+            langid_transcripts, mode=mode, min_doc_length=min_len
+        ).collect()
+    }
+    assert set(got) == set(expect), (
+        len(got),
+        len(expect),
+        list(set(got) ^ set(expect))[:6],
+    )
+    for key, row in got.items():
+        assert row["label"] == expect[key].label
+        assert row["clean_score"] == expect[key].clean_score
+
+
+def test_salvage_keeps_only_clean_high_conf_lang_matched(spark, langid_transcripts):
+    out = salvage_pipeline(langid_transcripts, mode="filter", min_doc_length=1)
+    bad = out.filter("label != 'Clean' OR clean_score <= 0.9").count()
+    assert bad == 0
