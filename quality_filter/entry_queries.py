@@ -1,0 +1,610 @@
+"""Driver-contract query registry: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable with (where SQL-expressible) a
+DuckDB oracle SQL string over the driver's pre-registered parquet views.
+
+The transcript-shaped queries derive a deterministic turn table from the
+``documents`` parquet (8-word chunks — same derivation in Spark and in the
+generated DuckDB SQL, see sqlgen.TURNS_CTE), then run the *real* engine
+operators on it.  Where a query needs labels/scores/langs as *inputs*
+(filter/trim/salvage semantics), they are derived with engine-agnostic
+integer arithmetic (sqlgen.synth_*) so both sides are bit-identical.
+
+Operator ids in docstrings refer to SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quality_filter import sqlgen
+from quality_filter.labels import LABELS
+from quality_filter.pipeline import (
+    apply_filter_mode,
+    apply_min_doc_length,
+    apply_trim_mode,
+    keep_by_label,
+    keep_by_salvage,
+    keep_by_score,
+    reassemble,
+)
+from quality_filter.rules import score_turns
+from quality_filter.scrub import scrub_expr
+from quality_filter.sqlgen import WORDS_PER_TURN
+
+W = WORDS_PER_TURN
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def derive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc→turn derivation (C1 analog: explode to line grain,
+    ``posexplode(split(...))`` family)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(w) / F.lit(float(W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("turn_idx"),
+            F.array_join(F.slice(w, i * W + 1, W), " ").alias("txt"),
+        ),
+    )
+    t = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        "doc_id",
+        F.col("lang").alias("doc_lang"),
+        F.explode(chunks).alias("ch"),
+    )
+    return t.select(
+        "conv_id",
+        "doc_id",
+        "doc_lang",
+        F.col("ch.turn_idx").alias("turn_idx"),
+        F.col("ch.txt").alias("text"),
+    )
+
+
+def _synth_cols(t: DataFrame) -> DataFrame:
+    """Engine-agnostic synthetic label / clean_score / lang columns
+    (mirrors sqlgen.synth_*_sql)."""
+    mixed = (F.col("doc_id") * 31 + F.col("turn_idx") * 7) % sqlgen.N_SYNTH_LABELS
+    label = F.when(mixed < sqlgen.SYNTH_CLEAN_BELOW, F.lit("Clean")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(l) for l in LABELS[1:]]),
+            ((mixed - sqlgen.SYNTH_CLEAN_BELOW).cast("int") % 8) + 1,
+        )
+    )
+    score_k = (F.col("doc_id") * 131 + F.col("turn_idx") * 17) % 1001
+    lang = F.element_at(
+        F.array(*[F.lit(l) for l in sqlgen.SYNTH_LANGS]),
+        ((F.col("doc_id") + F.col("turn_idx") * 3) % 5).cast("int") + 1,
+    )
+    return (
+        t.withColumn("label", label)
+        .withColumn("clean_score", score_k / F.lit(1000.0))
+        .withColumn("lang", lang)
+    )
+
+
+_SYNTH_SELECT = (
+    f"SELECT conv_id, doc_id, doc_lang, turn_idx, text, "
+    f"{sqlgen.synth_label_sql()} AS label, "
+    f"{sqlgen.synth_score_k_sql()} / 1000.0 AS clean_score, "
+    f"{sqlgen.synth_turn_lang_sql()} AS lang FROM turns"
+)
+
+
+def _with_turns(sql: str) -> str:
+    return f"WITH {sqlgen.TURNS_CTE}, scored AS ({_SYNTH_SELECT}) {sql}"
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# -- C2 analog: real rule engine ------------------------------------------
+
+@_register(
+    "rules_score",
+    f"WITH {sqlgen.TURNS_CTE} SELECT doc_id, turn_idx, "
+    f"{sqlgen.label_sql('text')} AS label, "
+    f"{sqlgen.clean_score_sql('text', sqlgen.label_sql('text'))} AS clean_score "
+    f"FROM turns",
+)
+def q_rules_score(spark, sf_dir):
+    """C2: per-turn label + clean_score from the native rule engine."""
+    t = derive_turns(spark, sf_dir)
+    return score_turns(t).select("doc_id", "turn_idx", "label", "clean_score")
+
+
+# -- C3 filter / C4 trim ----------------------------------------------------
+
+_REMOVE = [LABELS[6], LABELS[7], LABELS[2]]  # toxic, spam, contact
+_REMOVE_IN = ", ".join(f"'{l}'" for l in _REMOVE)
+
+
+@_register(
+    "filter_by_label",
+    _with_turns(
+        f"SELECT doc_id, turn_idx, text, label FROM scored "
+        f"WHERE label NOT IN ({_REMOVE_IN})"
+    ),
+)
+def q_filter_by_label(spark, sf_dir):
+    """C3 label variant (src/filter_by_quality_label.py:71-75) with
+    shorthand parsing."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    out = apply_filter_mode(t, keep_by_label("toxic,spam,contact"))
+    return out.select("doc_id", "turn_idx", "text", "label")
+
+
+@_register(
+    "trim_by_label",
+    _with_turns(
+        "SELECT doc_id, turn_idx, label FROM ("
+        " SELECT doc_id, turn_idx, label,"
+        "  min(CASE WHEN label = 'Clean' THEN turn_idx END) OVER (PARTITION BY conv_id) AS fk,"
+        "  max(CASE WHEN label = 'Clean' THEN turn_idx END) OVER (PARTITION BY conv_id) AS lk"
+        " FROM scored) WHERE turn_idx BETWEEN fk AND lk"
+    ),
+)
+def q_trim_by_label(spark, sf_dir):
+    """C4 trim, label predicate (src/filter_by_quality_label.py:77-90):
+    remove all non-Clean turns from the edges only."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    out = apply_trim_mode(t, keep_by_label("all"))
+    return out.select("doc_id", "turn_idx", "label")
+
+
+@_register(
+    "filter_by_score",
+    _with_turns(
+        "SELECT doc_id, turn_idx, clean_score FROM scored WHERE clean_score >= 0.5"
+    ),
+)
+def q_filter_by_score(spark, sf_dir):
+    """C3 score variant, inclusive >= (src/filter_by_quality_score.py:30)."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    out = apply_filter_mode(t, keep_by_score(0.5))
+    return out.select("doc_id", "turn_idx", "clean_score")
+
+
+@_register(
+    "trim_by_score",
+    _with_turns(
+        "SELECT doc_id, turn_idx, clean_score FROM ("
+        " SELECT doc_id, turn_idx, clean_score,"
+        "  min(CASE WHEN clean_score >= 0.7 THEN turn_idx END) OVER (PARTITION BY conv_id) AS fk,"
+        "  max(CASE WHEN clean_score >= 0.7 THEN turn_idx END) OVER (PARTITION BY conv_id) AS lk"
+        " FROM scored) WHERE turn_idx BETWEEN fk AND lk"
+    ),
+)
+def q_trim_by_score(spark, sf_dir):
+    """C4 trim, score predicate (src/filter_by_quality_score.py:37-56)."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    out = apply_trim_mode(t, keep_by_score(0.7))
+    return out.select("doc_id", "turn_idx", "clean_score")
+
+
+@_register(
+    "salvage_filter",
+    _with_turns(
+        "SELECT doc_id, turn_idx FROM scored "
+        "WHERE label = 'Clean' AND clean_score > 0.9 AND lang = doc_lang"
+    ),
+)
+def q_salvage_filter(spark, sf_dir):
+    """C3 salvage composite (src/salvage_low_quality_data.py:183-188):
+    Clean ∧ score strictly > 0.9 ∧ turn lang == document lang."""
+    t = _synth_cols(derive_turns(spark, sf_dir)).withColumn(
+        "document_lang", F.col("doc_lang")
+    )
+    out = apply_filter_mode(t, keep_by_salvage())
+    return out.select("doc_id", "turn_idx")
+
+
+@_register(
+    "min_doc_length",
+    _with_turns(
+        "SELECT doc_id, turn_idx FROM ("
+        " SELECT doc_id, turn_idx,"
+        "  sum(length(text)) OVER (PARTITION BY conv_id) + count(*) OVER (PARTITION BY conv_id) - 1 AS dl"
+        " FROM scored WHERE label = 'Clean') WHERE dl >= 100"
+    ),
+)
+def q_min_doc_length(spark, sf_dir):
+    """P2/P4: drop conversations whose post-filter reassembled text is
+    shorter than 100 chars (src/salvage_low_quality_data.py:219)."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    kept = apply_filter_mode(t, keep_by_label("all"))
+    out = apply_min_doc_length(kept, 100)
+    return out.select("doc_id", "turn_idx")
+
+
+@_register(
+    "reassemble_docs",
+    _with_turns(
+        "SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text, "
+        "count(*) AS n_turns FROM scored WHERE label = 'Clean' GROUP BY conv_id"
+    ),
+)
+def q_reassemble_docs(spark, sf_dir):
+    """A3/C3 rebuild: '\\n'.join of kept turns under stable turn order
+    (src/filter_by_quality_label.py:35)."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    kept = apply_filter_mode(t, keep_by_label("all"))
+    return reassemble(kept).select("conv_id", "text", "n_turns")
+
+
+# -- M7 scrubber ------------------------------------------------------------
+
+_PII_SUFFIX = (
+    " contact a.b@c.de or +1 (555) 123-4567 via https://x.io/y "
+    "from 192.168.1.1 ref 9934817265"
+)
+
+
+_PII_TEXT_EXPR = "(text || '" + _PII_SUFFIX + "')"
+
+
+@_register(
+    "scrub_pii",
+    f"SELECT doc_id, {sqlgen.scrub_sql(_PII_TEXT_EXPR)} AS scrubbed_text FROM documents",
+)
+def q_scrub_pii(spark, sf_dir):
+    """M7: regexp_replace PII scrub chain, byte-for-byte."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        scrub_expr(F.concat(F.col("text"), F.lit(_PII_SUFFIX))).alias("scrubbed_text"),
+    )
+
+
+# -- G aggregates -----------------------------------------------------------
+
+@_register(
+    "doc_quality_stats",
+    _with_turns(
+        "SELECT doc_id, count(*) AS n_turns, "
+        "CAST(sum(CAST((doc_id*131 + turn_idx*17) % 1001 AS BIGINT)) AS DOUBLE) / (1000.0 * count(*)) AS mean_score, "
+        "min((doc_id*131 + turn_idx*17) % 1001) / 1000.0 AS min_score, "
+        "CAST(sum(CASE WHEN label = 'Clean' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pct_clean "
+        "FROM scored GROUP BY doc_id"
+    ),
+)
+def q_doc_quality_stats(spark, sf_dir):
+    """G6: per-doc quality aggregates (quality_label_correlation notebook);
+    integer sums → one final division for float determinism."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    k = (F.col("doc_id") * 131 + F.col("turn_idx") * 17) % 1001
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (
+            F.sum(k.cast("bigint")).cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1)))
+        ).alias("mean_score"),
+        (F.min(k) / F.lit(1000.0)).alias("min_score"),
+        (
+            F.sum(F.when(F.col("label") == "Clean", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pct_clean"),
+    )
+
+
+@_register(
+    "label_freq",
+    f"WITH {sqlgen.TURNS_CTE} SELECT {sqlgen.label_sql('text')} AS label, "
+    f"count(*) AS n FROM turns GROUP BY 1",
+)
+def q_label_freq(spark, sf_dir):
+    """G1/G4/S9: label frequency table over real rule labels."""
+    t = derive_turns(spark, sf_dir)
+    return score_turns(t).groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "label_top3",
+    f"WITH {sqlgen.TURNS_CTE}, f AS (SELECT {sqlgen.label_sql('text')} AS label, "
+    f"count(*) AS n FROM turns GROUP BY 1) "
+    f"SELECT label, n FROM f ORDER BY n DESC, label LIMIT 3",
+)
+def q_label_top3(spark, sf_dir):
+    """G2: top-k most common labels (src/label_lines_with_LLM.py:447),
+    deterministic tiebreak."""
+    t = derive_turns(spark, sf_dir)
+    freq = score_turns(t).groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return freq.orderBy(F.desc("n"), "label").limit(3)
+
+
+# -- dedup / similarity -----------------------------------------------------
+
+@_register(
+    "dedup_prefix_exact",
+    f"WITH {sqlgen.TURNS_CTE}, keyed AS ("
+    f" SELECT doc_id, turn_idx, md5(array_to_string(string_split(text,' ')[1:3], ' ')) AS fp"
+    f" FROM turns) "
+    f"SELECT fp, count(*) AS n_copies, min(doc_id*1000000 + turn_idx) AS keeper "
+    f"FROM keyed GROUP BY fp HAVING count(*) > 1",
+)
+def q_dedup_prefix_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on a normalized fingerprint (3-word
+    prefix): duplicate groups with deterministic keeper."""
+    t = derive_turns(spark, sf_dir)
+    fp = F.md5(
+        F.encode(F.array_join(F.slice(F.split("text", " "), 1, 3), " "), "UTF-8")
+    )
+    keyed = t.select("doc_id", "turn_idx", fp.alias("fp"))
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col("doc_id") * 1000000 + F.col("turn_idx")).alias("keeper"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@_register(
+    "jaccard_near_dups",
+    "WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
+    " i -> array_to_string(string_split(text,' ')[(i+1):(i+3)], ' '))) AS shingle"
+    " FROM documents WHERE doc_id < 200),"
+    "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),"
+    "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common"
+    " FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+    " GROUP BY 1, 2) "
+    "SELECT p.a, p.b, p.n_common, sa.n AS n_a, sb.n AS n_b "
+    "FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id "
+    "WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.5",
+)
+def q_jaccard_near_dups(spark, sf_dir):
+    """n-gram Jaccard near-dup detection: 3-word shingles, shingle-join
+    candidate generation, Jaccard >= 0.5."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    w = F.split("text", " ")
+    n_sh = (F.size(w) - 2).cast("bigint")
+    shingles = F.transform(
+        F.sequence(F.lit(0), (n_sh - 1).cast("int")),
+        lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+    )
+    sh = (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b"))
+    out = pairs.join(sa, "a").join(sb, "b")
+    return out.filter(
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        >= 0.5
+    ).select("a", "b", "n_common", "n_a", "n_b")
+
+
+def _minhash_sql() -> str:
+    aggs = ", ".join(
+        f"min(md5('s{s}|' || shingle)) AS h{s}" for s in range(8)
+    )
+    return (
+        "WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
+        " i -> array_to_string(string_split(text,' ')[(i+1):(i+3)], ' '))) AS shingle"
+        " FROM documents),"
+        f"sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),"
+        "bands AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band1, md5(h4 || h5 || h6 || h7) AS band2 FROM sig) "
+        "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a JOIN bands b"
+        " ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)"
+    )
+
+
+@_register("minhash_candidates", _minhash_sql())
+def q_minhash_candidates(spark, sf_dir):
+    """MinHash+LSH candidate pairs: 8 md5-string min-hash permutations,
+    2 bands × 4 rows, band-collision join."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    n_sh = (F.size(w) - 2).cast("bigint")
+    shingles = F.transform(
+        F.sequence(F.lit(0), (n_sh - 1).cast("int")),
+        lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+    )
+    sh = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"s{s}|"), F.col("shingle")), "UTF-8"))).alias(f"h{s}")
+        for s in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        F.md5(F.encode(F.concat("h0", "h1", "h2", "h3"), "UTF-8")).alias("band1"),
+        F.md5(F.encode(F.concat("h4", "h5", "h6", "h7"), "UTF-8")).alias("band2"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.band1") == F.col("b.band1"))
+                | (F.col("a.band2") == F.col("b.band2"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+# -- text stats -------------------------------------------------------------
+
+@_register(
+    "token_stats",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_words, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, "
+    "length(text) AS n_chars FROM documents",
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting / text analysis over documents."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("int").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# -- sampling / splits / joins / windows ------------------------------------
+
+@_register(
+    "stratified_split",
+    "SELECT o_orderkey, CASE WHEN (o_orderkey*2654435761) % 1000 < 700 THEN 'train' "
+    "WHEN (o_orderkey*2654435761) % 1000 < 850 THEN 'val' ELSE 'test' END AS split "
+    "FROM orders",
+)
+def q_stratified_split(spark, sf_dir):
+    """R2: deterministic 70/15/15 split via integer mixing (scale-safe
+    replacement for train_test_split, src/prep_data_for_training.py:62-120)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bucket = (F.col("o_orderkey") * 2654435761) % 1000
+    return orders.select(
+        "o_orderkey",
+        F.when(bucket < 700, "train")
+        .when(bucket < 850, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@_register(
+    "semi_join_purchasers",
+    "SELECT user_id, count(*) AS n_events FROM events e "
+    "WHERE EXISTS (SELECT 1 FROM events p WHERE p.user_id = e.user_id "
+    "AND p.event_type = 'purchase') GROUP BY user_id",
+)
+def q_semi_join_purchasers(spark, sf_dir):
+    """J1: left-semi join against an id set (src/sample_data.py:33-36) —
+    all events of users who ever purchased."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        events.join(F.broadcast(purchasers), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "window_events",
+    "SELECT user_id, event_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+    "FROM events",
+)
+def q_window_events(spark, sf_dir):
+    """R7-family ordered windows: stable per-user event ordering."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+@_register(
+    "tpch_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+    "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, "
+    "count(*) AS count_order FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q_tpch_pricing_summary(spark, sf_dir):
+    """G-family groupBy aggregate with exact integer-domain sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# -- full pipeline (C2+C3+M7+A3 composed) -----------------------------------
+
+_FULL_SQL = (
+    f"WITH {sqlgen.TURNS_CTE}, lab AS ("
+    f" SELECT conv_id, turn_idx, text, {sqlgen.label_sql('text')} AS label FROM turns) "
+    f"SELECT conv_id, string_agg({sqlgen.scrub_sql('text')}, chr(10) ORDER BY turn_idx) AS text, "
+    f"count(*) AS n_turns FROM lab WHERE label = 'Clean' GROUP BY conv_id"
+)
+
+
+@_register("full_clean_reassemble", _FULL_SQL)
+def q_full_clean_reassemble(spark, sf_dir):
+    """Flagship: real rules → filter 'all' → scrub → ordered reassembly."""
+    t = derive_turns(spark, sf_dir)
+    scored = score_turns(t)
+    kept = apply_filter_mode(scored, keep_by_label("all"))
+    scrubbed = kept.withColumn("scrubbed_text", scrub_expr(F.col("text")))
+    return reassemble(scrubbed, "scrubbed_text").select("conv_id", "text", "n_turns")
+
+
+# -- UDF scorers (no SQL oracle → rows-only driver check) -------------------
+
+@_register("langid_turns")
+def q_langid_turns(spark, sf_dir):
+    """M5: fastText-style langid pandas UDF (rows-only check)."""
+    from quality_filter.langid import with_langid
+
+    docs = _docs(spark, sf_dir)
+    return with_langid(docs).select("doc_id", "lang", "lang_prob")
+
+
+@_register("perplexity_turns")
+def q_perplexity_turns(spark, sf_dir):
+    """M6: KenLM-style perplexity pandas UDF (rows-only check)."""
+    from quality_filter.perplexity import with_perplexity
+
+    docs = _docs(spark, sf_dir)
+    return with_perplexity(docs.select("doc_id", "text")).select("doc_id", "logppl")
