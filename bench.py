@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract): runs the headline transcript
+cleaning pipeline plus every registry query and prints ONE JSON line.
+
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default: all)
+  BENCH_N_CONVS        synthetic transcript conversations (default 20000)
+  BENCH_SKIP_QUERIES   "1" → headline pipeline only
+
+Headline metric: turns/sec through the full hot path — synth transcripts
+(cached parquet) → langid UDF → perplexity UDF → rule scoring → filter
+'all' → scrub → parquet sink.  The scaling harness (BENCH/run_scaling.py)
+reruns this headline at two parallelism levels for the N→4N efficiency
+evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from quality_filter.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "20000"))
+CACHE_DIR = Path(__file__).resolve().parent / ".bench_data"
+
+
+def ensure_transcripts(spark, n_convs: int) -> str:
+    """Materialize the deterministic synthetic transcript table once
+    (64 files so any core count has enough input splits)."""
+    path = str(CACHE_DIR / f"transcripts_{n_convs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from quality_filter.synth import synth_transcripts
+
+        df = synth_transcripts(
+            spark, n_convs=n_convs, seed=42, max_turns=40,
+            skew_convs=4, skew_turns=20000,
+        )
+        df.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_headline(spark, transcripts_path: str) -> tuple[float, int]:
+    """Full hot path → parquet sink; returns (seconds, n_turns_in)."""
+    from quality_filter.pipeline import clean_pipeline
+    from quality_filter.scoring import with_scores
+
+    df = spark.read.parquet(transcripts_path)
+    n_turns = df.count()
+    sink_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="qf_bench_out_", dir=sink_root)
+    t0 = time.time()
+    # UDF scorers run on gate survivors (smaller Arrow volume); the
+    # empty-conv gate uses the single-pass window strategy (measured faster
+    # than agg_join here even with a cheap aggregate side).
+    result = with_scores(
+        clean_pipeline(
+            df,
+            mode="filter",
+            labels_to_remove="all",
+            scrub=True,
+            strategy="window",
+        )
+    )
+    result.write.mode("overwrite").parquet(out_dir)
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return dt, n_turns
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from quality_filter.entry_queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    spark = get_spark("qf_bench", cores=CPUS)
+    tpath = ensure_transcripts(spark, N_CONVS)
+    # warm-up run: JIT-compile the generated code, spawn the Python UDF
+    # workers; then best-of-N measured runs (production jobs run for hours —
+    # cold-start and GC jitter are noise at this scale)
+    run_headline(spark, tpath)
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    results = [run_headline(spark, tpath) for _ in range(reps)]
+    headline_s, n_turns = min(results)
+    qtimes: dict[str, float] = {}
+    if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
+        qtimes = run_queries(spark, SF_DIR)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "full clean-pipeline wall time (langid+ppl UDFs, rule scoring, filter-all, scrub, parquet sink)",
+        "value": round(headline_s, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline_s, 1),
+        "cpus": CPUS,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all JVM-side (xxhash64 +
+array HOFs + joins), no UDFs.
+
+Scale notes: exact dedup is one hash-groupBy (map-side combinable);
+MinHash signatures are one groupBy over exploded shingles; LSH candidate
+generation is an equi-join on band keys (shuffle on band hash — the
+standard sub-quadratic near-dup layout); everything downstream of
+candidates is pair-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col):
+    """Normalization for fingerprinting: lowercase, collapse whitespace,
+    strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\r\n]+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the row with the smallest id
+    per fingerprint group (deterministic keeper).  One shuffle."""
+    fp = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
+    keyed = df.withColumn("_fp", fp)
+    keepers = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keepers, [ "_fp", id_col ], "left_semi").drop("_fp")
+
+
+def word_shingles(text_col, k: int = 3):
+    """Array of k-word shingles."""
+    w = F.split(text_col, " ")
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(seed,
+    shingle) for each of ``n_hashes`` seeded permutations.  Output:
+    (id, h0..h{n-1}).  One explode + one groupBy (map-side combine keeps
+    the shuffle at one row per doc)."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    ).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"h{s}") for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs
+    (a < b).  Equi-join on (band_idx, band_hash)."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bd")
+    ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard(sig: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                    n_hashes: int = 16) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing
+    signature positions."""
+    sa = sig.select(F.col(id_col).alias("a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
+    sb = sig.select(F.col(id_col).alias("b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)])
+    j = pairs.join(sa, "a").join(sb, "b")
+    agree = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_hashes)
+    )
+    return j.select("a", "b", (agree / F.lit(float(n_hashes))).alias("est_jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates → signature-Jaccard ≥ threshold →
+    drop the larger id of each duplicate pair (single-link, one hop —
+    transitive chains collapse over repeated application)."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes)
+    pairs = lsh_candidates(sig, id_col, bands, n_hashes // bands)
+    dups = minhash_jaccard(sig, pairs, id_col, n_hashes).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    losers = dups.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def _bit_vote(hashes, i: int):
+    """Sum over tokens of (bit_i set ? +1 : -1).  Closure over ``i`` — a
+    default-arg parameter would change the HOF lambda's arity."""
+    return F.aggregate(
+        hashes,
+        F.lit(0),
+        lambda acc, h: acc
+        + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    )
+
+
+def simhash64(text_col):
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    token hashes, built from 64 bit-test aggregates on xxhash64 — pure
+    Catalyst (aggregate HOF over the token array)."""
+    tokens = F.split(normalized_text(text_col), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_exprs = []
+    for i in range(64):
+        weight = 2**i if i < 63 else -(2**63)  # two's-complement sign bit
+        bit_exprs.append(
+            F.when(_bit_vote(hashes, i) > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
+    any pair within Hamming distance 3 shares at least one band
+    (pigeonhole); verify with bit_count(xor) ≤ max_hamming."""
+    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    bands = h.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sh", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "sh", F.col("bd.band").alias("band"), F.col("bd.bk").alias("bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

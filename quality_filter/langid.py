@@ -101,32 +101,46 @@ SEED_CORPORA: dict[str, list[str]] = {
 
 
 def build_artifact() -> tuple[list[str], np.ndarray]:
-    """(langs, profiles[L, DIM]) — smoothed log-prob profile per language."""
+    """(langs, profiles_t[DIM, L]) — smoothed log-prob profile per language,
+    stored hash-major/C-contiguous so per-hash lookups during scoring are
+    contiguous row gathers (≈10× cheaper than column gathers of an
+    (L, DIM) layout at Arrow-batch scale)."""
     langs = sorted(SEED_CORPORA)
     profiles = np.stack(
         [ngram.log_profile(ngram.train_counts(SEED_CORPORA[lang])) for lang in langs]
     )
-    return langs, profiles
+    # float32 halves gather/reduceat memory traffic (the scorer is
+    # bandwidth-bound); scoring accumulates in float64 for stability.
+    return langs, np.ascontiguousarray(profiles.T, dtype=np.float32)
 
 
 def score_batch(
-    texts: pd.Series, langs: list[str], profiles: np.ndarray
+    texts: pd.Series, langs: list[str], profiles_t: np.ndarray
 ) -> pd.DataFrame:
     """Vectorized langid over one Arrow batch → DataFrame(lang, lang_prob)."""
     vals = texts.fillna("").tolist()
     hashes, offsets = ngram.batch_trigram_hashes(vals)
     counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
-    # (L, N) per-position log-probs → (L, rows) sums → mean per trigram
-    per_lang = ngram.segment_sums(profiles[:, hashes], offsets)
-    mean_lp = per_lang / np.maximum(counts, 1.0)[None, :]
-    z = mean_lp * SHARPNESS
-    z -= z.max(axis=0, keepdims=True)
-    ez = np.exp(z)
-    probs = ez / ez.sum(axis=0, keepdims=True)
-    best = probs.argmax(axis=0)
     n_rows = len(vals)
+    n_langs = profiles_t.shape[1]
+    # (positions, L) per-position log-probs → per-row sums along axis 0.
+    # reduceat is sequential per segment, so each row's sums are
+    # bit-identical regardless of batch composition.
+    gathered = profiles_t[hashes]
+    per_row = np.zeros((n_rows, n_langs), dtype=np.float64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if gathered.shape[0] and nonempty.any():
+        per_row[nonempty] = np.add.reduceat(
+            gathered, offsets[:-1][nonempty], axis=0, dtype=np.float64
+        )[: int(nonempty.sum())]
+    mean_lp = per_row / np.maximum(counts, 1.0)[:, None]
+    z = mean_lp * SHARPNESS
+    z -= z.max(axis=1, keepdims=True)
+    ez = np.exp(z)
+    probs = ez / ez.sum(axis=1, keepdims=True)
+    best = probs.argmax(axis=1)
     lang_out = np.array(langs, dtype=object)[best]
-    prob_out = probs[best, np.arange(n_rows)]
+    prob_out = probs[np.arange(n_rows), best]
     short = counts < MIN_BYTES
     lang_out[short] = UNKNOWN
     prob_out = np.where(short, 0.0, np.round(prob_out, 3))

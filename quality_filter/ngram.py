@@ -82,7 +82,7 @@ def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if values.shape[-1] == 0 or not nonempty.any():
         return out
     starts = offsets[:-1][nonempty]
-    sums = np.add.reduceat(values, starts, axis=-1)
+    sums = np.add.reduceat(values, starts, axis=-1, dtype=np.float64)
     out[..., nonempty] = sums
     return out
 

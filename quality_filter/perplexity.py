@@ -35,8 +35,9 @@ def build_artifact() -> tuple[np.ndarray, np.ndarray]:
     h3, h2, _ = ngram._batch_hashes(corpus)
     c3 = np.bincount(h3, minlength=ngram.DIM).astype(np.float64)
     c2 = np.bincount(h2, minlength=ngram.DIM).astype(np.float64)
-    lp3 = np.log(c3 + SMOOTH_K)
-    lp2 = np.log(c2 + SMOOTH_K * 256.0)
+    # float32 halves lookup memory traffic; accumulation stays float64
+    lp3 = np.log(c3 + SMOOTH_K).astype(np.float32)
+    lp2 = np.log(c2 + SMOOTH_K * 256.0).astype(np.float32)
     return lp3, lp2
 
 

@@ -19,11 +19,16 @@ Reference semantics (all re-expressed as declarative Catalyst plans):
 
 Per-conversation aggregates come in two physical strategies:
 
-- ``window``   — one shuffle, fine when conversation sizes are bounded;
+- ``window``   — single pass over the input, one shuffle (DEFAULT: the
+  upstream subtree — scorer UDFs included — is evaluated exactly once;
+  Spark's WindowExec spills giant groups to disk, so skewed conversations
+  are slow-but-safe);
 - ``agg_join`` — groupBy (map-side partial agg, skew-immune) + join back
-  (AQE skew-join handles giant conversations).  This is the default for
-  scale: a 10^7-turn conversation never has to fit one window partition's
-  sort buffer as a single group.
+  (AQE skew-join).  Costs a second evaluation of the upstream subtree on
+  the aggregate side, so use it when the upstream is a cheap scan — e.g.
+  the two-phase production layout where scores are materialized to a table
+  first (the reference's own score-then-filter architecture,
+  scripts/run_classifier_inference.sh → run_filter_by_quality_label.sh).
 """
 
 from __future__ import annotations
@@ -72,7 +77,7 @@ def keep_by_salvage(document_lang_col: str = "document_lang") -> Column:
 # --------------------------------------------------------------------------
 
 def _attach_per_conv(
-    df: DataFrame, aggs: dict[str, Column], strategy: str = "agg_join"
+    df: DataFrame, aggs: dict[str, Column], strategy: str = "window"
 ) -> DataFrame:
     """Attach per-conv aggregate columns to every turn row.
 
@@ -110,7 +115,7 @@ def _attach_doc_len(df: DataFrame, strategy: str) -> DataFrame:
     ).drop("_sum_len", "_cnt")
 
 
-def with_document_lang(df: DataFrame, strategy: str = "agg_join") -> DataFrame:
+def with_document_lang(df: DataFrame, strategy: str = "window") -> DataFrame:
     """Per-conversation dominant language: argmax over summed per-turn
     ``lang_prob`` — the turn-grain analog of
     ``lang[argmax(prob)]`` (``src/classifier_inference_pipeline.py:115``).
@@ -146,7 +151,7 @@ def apply_filter_mode(df: DataFrame, keep: Column) -> DataFrame:
 
 
 def apply_trim_mode(
-    df: DataFrame, keep: Column, strategy: str = "agg_join"
+    df: DataFrame, keep: Column, strategy: str = "window"
 ) -> DataFrame:
     """Trim mode: keep turns between the first and last keep-worthy turn;
     interior bad turns survive.  Conversations with zero keep-worthy turns
@@ -171,7 +176,7 @@ def apply_trim_mode(
 
 
 def apply_min_doc_length(
-    df: DataFrame, min_doc_length: int, strategy: str = "agg_join"
+    df: DataFrame, min_doc_length: int, strategy: str = "window"
 ) -> DataFrame:
     """Drop conversations whose reassembled text would be shorter than
     ``min_doc_length`` chars.  Reassembled length of n turns =
@@ -186,7 +191,7 @@ def apply_min_doc_length(
     return with_len.filter(F.col("_doc_len") >= F.lit(min_doc_length)).drop("_doc_len")
 
 
-def drop_empty_convs(df: DataFrame, strategy: str = "agg_join") -> DataFrame:
+def drop_empty_convs(df: DataFrame, strategy: str = "window") -> DataFrame:
     """P4: drop conversations whose reassembled text is empty ("" join of
     all-empty turns still counts as non-empty if any turn has chars or
     there are ≥2 turns — matches ``if processed["text"]`` truthiness on
@@ -233,7 +238,7 @@ def clean_pipeline(
     score_threshold: float | None = None,
     min_doc_length: int = 1,
     scrub: bool = True,
-    strategy: str = "agg_join",
+    strategy: str = "window",
 ) -> DataFrame:
     """Flagship pipeline: score → keep flag → filter/trim → min-length →
     scrub.  Output stays turn-grained (one row per surviving turn) with
@@ -246,17 +251,35 @@ def clean_pipeline(
     """
     if mode not in ("filter", "trim"):
         raise ValueError("Must choose either 'trim' or 'filter'")
-    scored = score_turns(df)
-    if score_threshold is not None:
-        keep = keep_by_score(score_threshold)
-    elif labels_to_remove is not None:
-        keep = keep_by_label(labels_to_remove)
-    else:
+    if score_threshold is None and labels_to_remove is None:
         raise ValueError("one of labels_to_remove / score_threshold is required")
-    if mode == "filter":
-        out = apply_filter_mode(scored, keep)
+    from quality_filter.labels import LABELS
+    from quality_filter.rules import clean_fastpath_predicate
+
+    remove_all = (
+        score_threshold is None
+        and set(parse_labels(labels_to_remove)) == set(LABELS[1:])
+    )
+    if mode == "filter" and remove_all:
+        # cheap-filter-first rewrite: when every non-Clean label is removed,
+        # keep ⟺ the Clean fast-path predicate — filter with the compact
+        # predicate BEFORE scoring; survivors are Clean by construction, so
+        # the label is a literal and no row ever pays the full regex cascade.
+        from quality_filter.rules import score_clean_survivors
+
+        out = score_clean_survivors(
+            df.filter(clean_fastpath_predicate(F.coalesce(F.col("text"), F.lit(""))))
+        )
     else:
-        out = apply_trim_mode(scored, keep, strategy)
+        scored = score_turns(df)
+        if score_threshold is not None:
+            keep = keep_by_score(score_threshold)
+        else:
+            keep = keep_by_label(labels_to_remove)
+        if mode == "filter":
+            out = apply_filter_mode(scored, keep)
+        else:
+            out = apply_trim_mode(scored, keep, strategy)
     if min_doc_length > 1:
         out = apply_min_doc_length(out, min_doc_length, strategy)
     else:
@@ -271,7 +294,7 @@ def salvage_pipeline(
     mode: str = "filter",
     min_doc_length: int = DEFAULT_MIN_DOC_LENGTH,
     doc_score_col: str | None = None,
-    strategy: str = "agg_join",
+    strategy: str = "window",
 ) -> DataFrame:
     """The salvage path (``src/salvage_low_quality_data.py:176-259``):
     doc pre-gate → score → Clean ∧ score>0.9 ∧ lang==document_lang →

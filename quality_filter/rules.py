@@ -53,13 +53,15 @@ LEN_NORM = 120
 def feature_columns(text: Column) -> dict[str, Column]:
     """Character-class counts/ratios used by the formatting rule and score.
 
-    Counts use Unicode-aware ``\\p{L}`` and an explicit ASCII whitespace
-    class so Java/RE2/Python agree (see patterns.py docstring).
+    Letter counting uses Unicode-aware ``\\p{L}`` (one regex pass); digit
+    and whitespace counts use ``translate`` (a plain char-map pass, several
+    times cheaper than a regex scan) — provably identical to counting the
+    ASCII classes ``[0-9]`` / ``[ \\t\\r\\n\\x0B\\f]`` the oracle uses.
     """
     n_chars = F.length(text)
     n_letter = F.regexp_count(text, F.lit(r"\p{L}"))
-    n_digit = F.regexp_count(text, F.lit("[0-9]"))
-    n_space = F.regexp_count(text, F.lit(P.WS_CLASS))
+    n_digit = n_chars - F.length(F.translate(text, "0123456789", ""))
+    n_space = n_chars - F.length(F.translate(text, " \t\r\n\x0b\f", ""))
     n_nonspace = n_chars - n_space
     n_symbol = n_chars - n_letter - n_digit - n_space
     alpha_ratio = n_letter.cast("double") / F.greatest(F.lit(1), n_nonspace)
@@ -72,24 +74,43 @@ def feature_columns(text: Column) -> dict[str, Column]:
     }
 
 
+# Single-pass fast-path regex: matches iff ANY labelling regex (or the
+# symbol-run formatting trigger) matches.  All component patterns carry a
+# stripped "(?i)" prefix, re-applied once at the front — alternation of the
+# same patterns, so combined-match ⟺ ∃ individual match.
+_COMBINED_DEFECT = P.ci(
+    "(" + "|".join(
+        [pat.removeprefix("(?i)") for _, pat in REGEX_RULES] + [P.SYMBOL_RUN]
+    ) + ")"
+)
+
+
 def label_expr(text: Column) -> Column:
     """Per-turn label: frozen-precedence regex rules, then the ratio-based
-    formatting rule, else Clean."""
+    formatting rule, else Clean.
+
+    Physical fast path: one combined alternation regex decides "definitely
+    Clean" for the ~70 % majority in a single scan; only rows that match
+    something (or trip a ratio rule) pay the per-label regex cascade.
+    Label semantics are identical — parity with the oracle is tested.
+    """
     feats = feature_columns(text)
-    expr = F.lit(LABELS[0])  # Clean (built innermost-out, so reversed below)
-    formatting = (
+    ratio_formatting = (
         (feats["n_nonspace"] == 0)
-        | text.rlike(P.SYMBOL_RUN)
         | (feats["symbol_ratio"] > F.lit(SYMBOL_RATIO_MAX))
         | (
             (feats["n_chars"] >= F.lit(MIN_CHARS_FOR_ALPHA_RULE))
             & (feats["alpha_ratio"] < F.lit(ALPHA_RATIO_MIN))
         )
     )
-    expr = F.when(formatting, F.lit(FORMATTING_LABEL)).otherwise(expr)
+    full = F.lit(LABELS[0])  # Clean (built innermost-out, so reversed below)
+    formatting = ratio_formatting | text.rlike(P.SYMBOL_RUN)
+    full = F.when(formatting, F.lit(FORMATTING_LABEL)).otherwise(full)
     for label, pattern in reversed(REGEX_RULES):
-        expr = F.when(text.rlike(pattern), F.lit(label)).otherwise(expr)
-    return expr
+        full = F.when(text.rlike(pattern), F.lit(label)).otherwise(full)
+    return F.when(
+        ~text.rlike(_COMBINED_DEFECT) & ~ratio_formatting, F.lit(LABELS[0])
+    ).otherwise(full)
 
 
 def clean_score_expr(text: Column, label: Column) -> Column:
@@ -111,15 +132,122 @@ def clean_score_expr(text: Column, label: Column) -> Column:
     return F.bround(damped, 3)
 
 
+def _feature_cols_from(df: DataFrame, text: Column) -> DataFrame:
+    """Materialize the four feature counts as real columns.
+
+    Keeping them as named intermediate columns (instead of inlining the
+    expression tree at every use site) matters twice over: each count is
+    computed once per row, and every downstream operator's generated code
+    stays under the JVM JIT's ~8 KB compile limit — a single inlined
+    label+score expression tree pushed into a Filter blows that limit and
+    the whole stage silently runs interpreted (~3× slower; measured).
+    CollapseProject will not re-inline them because they are non-cheap and
+    multiply referenced.
+    """
+    n_chars = F.length(text)
+    return (
+        df.withColumn("_n_chars", n_chars)
+        .withColumn(
+            "_n_letter",
+            n_chars - F.length(F.regexp_replace(text, r"\p{L}", "")),
+        )
+        .withColumn("_n_digit", n_chars - F.length(F.translate(text, "0123456789", "")))
+        .withColumn("_n_space", n_chars - F.length(F.translate(text, " \t\r\n\x0b\f", "")))
+    )
+
+
+def _feats_from_cols() -> dict[str, Column]:
+    n_chars = F.col("_n_chars")
+    n_nonspace = n_chars - F.col("_n_space")
+    n_symbol = n_chars - F.col("_n_letter") - F.col("_n_digit") - F.col("_n_space")
+    return {
+        "n_chars": n_chars,
+        "n_nonspace": n_nonspace,
+        "alpha_ratio": F.col("_n_letter").cast("double")
+        / F.greatest(F.lit(1), n_nonspace),
+        "symbol_ratio": n_symbol.cast("double") / F.greatest(F.lit(1), n_chars),
+    }
+
+
+def _ratio_formatting(feats: dict[str, Column]) -> Column:
+    return (
+        (feats["n_nonspace"] == 0)
+        | (feats["symbol_ratio"] > F.lit(SYMBOL_RATIO_MAX))
+        | (
+            (feats["n_chars"] >= F.lit(MIN_CHARS_FOR_ALPHA_RULE))
+            & (feats["alpha_ratio"] < F.lit(ALPHA_RATIO_MIN))
+        )
+    )
+
+
+def clean_fastpath_predicate(text: Column) -> Column:
+    """True iff the label would be Clean — as a compact standalone
+    predicate (one combined regex + char-map counts).  Lets pipelines
+    filter *before* scoring when the removal set is every non-Clean label
+    (the cheap-filter-first rewrite anticipated in SURVEY.md §7.2):
+    pushed into the scan, it never materializes labels for dropped rows."""
+    feats = feature_columns(text)
+    ratio_formatting = (
+        (feats["n_nonspace"] == 0)
+        | (feats["symbol_ratio"] > F.lit(SYMBOL_RATIO_MAX))
+        | (
+            (feats["n_chars"] >= F.lit(MIN_CHARS_FOR_ALPHA_RULE))
+            & (feats["alpha_ratio"] < F.lit(ALPHA_RATIO_MIN))
+        )
+    )
+    return ~text.rlike(_COMBINED_DEFECT) & ~ratio_formatting
+
+
+def score_clean_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score rows already known to be Clean (e.g. survivors of
+    ``clean_fastpath_predicate``): label is a literal and the score needs
+    only the char-class counts — no regex cascade at all.  Byte-identical
+    to ``score_turns`` on such rows (parity-tested)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = _feature_cols_from(df, text).withColumn("label", F.lit(LABELS[0]))
+    feats = _feats_from_cols()
+    score_raw = (
+        F.lit(W_ALPHA) * feats["alpha_ratio"]
+        + F.lit(W_LEN)
+        * (F.least(feats["n_chars"], F.lit(LEN_NORM)).cast("double") / F.lit(float(LEN_NORM)))
+        + F.lit(W_SYM) * (F.lit(1.0) - feats["symbol_ratio"])
+    )
+    return base.withColumn("clean_score", F.bround(score_raw, 3)).drop(
+        "_n_chars", "_n_letter", "_n_digit", "_n_space"
+    )
+
+
 def score_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``label`` and ``clean_score`` to a transcript DataFrame.
 
-    One narrow projection — the Spark analog of the reference's
-    classify-then-annotate step (``src/classifier_inference_pipeline.py:103-123``)
-    with the model replaced by deterministic rules.
+    Three slim projections (features → label → score) — the Spark analog
+    of the reference's classify-then-annotate step
+    (``src/classifier_inference_pipeline.py:103-123``) with the model
+    replaced by deterministic rules.  ``label`` is computed from the
+    materialized feature columns; ``clean_score`` references the ``label``
+    column (no re-inlining — see ``_feature_cols_from``).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    labeled = df.withColumn("label", label_expr(text))
-    return labeled.withColumn(
-        "clean_score", clean_score_expr(F.coalesce(F.col(text_col), F.lit("")), F.col("label"))
+    base = _feature_cols_from(df, text)
+    feats = _feats_from_cols()
+    full = F.lit(LABELS[0])
+    formatting = _ratio_formatting(feats) | text.rlike(P.SYMBOL_RUN)
+    full = F.when(formatting, F.lit(FORMATTING_LABEL)).otherwise(full)
+    for label, pattern in reversed(REGEX_RULES):
+        full = F.when(text.rlike(pattern), F.lit(label)).otherwise(full)
+    label = F.when(
+        ~text.rlike(_COMBINED_DEFECT) & ~_ratio_formatting(feats), F.lit(LABELS[0])
+    ).otherwise(full)
+    labeled = base.withColumn("label", label)
+    score_raw = (
+        F.lit(W_ALPHA) * feats["alpha_ratio"]
+        + F.lit(W_LEN)
+        * (F.least(feats["n_chars"], F.lit(LEN_NORM)).cast("double") / F.lit(float(LEN_NORM)))
+        + F.lit(W_SYM) * (F.lit(1.0) - feats["symbol_ratio"])
+    )
+    damped = F.when(F.col("label") == F.lit(LABELS[0]), score_raw).otherwise(
+        F.lit(0.4) * score_raw
+    )
+    return labeled.withColumn("clean_score", F.bround(damped, 3)).drop(
+        "_n_chars", "_n_letter", "_n_digit", "_n_space"
     )

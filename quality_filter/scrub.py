@@ -13,15 +13,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from quality_filter.patterns import SCRUB_CHAIN
+from quality_filter.patterns import SCRUB_CHAIN, TOXIC, ci
+
+# Single-scan necessary-condition check: every chain pattern requires one of
+# these — '@' (EMAIL), a digit (PHONE/IPV4/LONG_ID), an http/www prefix
+# (URL), or a toxic phrase.  Rows failing this test are provably unchanged
+# by the chain, so the 6-pattern replace cascade is skipped for them
+# (the large majority at scale).
+_QUICKCHECK = ci(r"[@0-9]|https?://|www\." + "|" + TOXIC)
 
 
 def scrub_expr(text: Column) -> Column:
-    """The full replacement chain as one nested Catalyst expression."""
+    """The full replacement chain as one nested Catalyst expression, behind
+    a one-scan fast path for rows no pattern can touch."""
     out = text
     for pattern, replacement in SCRUB_CHAIN:
         out = F.regexp_replace(out, pattern, replacement)
-    return out
+    return F.when(text.rlike(_QUICKCHECK), out).otherwise(text)
 
 
 def scrub_turns(

@@ -37,7 +37,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Align Spark's whole-stage-codegen fallback with the JVM JIT's
+        # actual compile limit (~8 KB bytecode): beyond it, generated
+        # methods run *interpreted*, which is slower than no WSCG at all
+        # (measured 1.6× on the rule engine's regex cascade).
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
+    # Shuffle/spill scratch on tmpfs when available: local-mode shuffles are
+    # loopback disk I/O otherwise, which adds variance and serializes on the
+    # virtio queue.  (On a real cluster this is the NVMe-backed local dir.)
+    if os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/spark_local"
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

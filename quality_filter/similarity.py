@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set, fold the dot product with array HOFs (JVM-side, no UDF),
+  rank per query with a window.  The baseline at any scale where
+  |queries| × |corpus| row pairs are tractable.
+- ``lsh_ann_topk``     — the scale path: sign-random-projection LSH
+  (deterministic seeded hyperplanes, broadcast as literals) buckets the
+  corpus; candidates share a bucket with the query, then exact rerank.
+  Probe radius 0 (same bucket) by default; increase ``n_tables`` for
+  recall.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (query ids ≠ neighbor ids).
+    Output: (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim).astype(float).tolist()
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id: one bit per hyperplane."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = _dot(vec_col, lit_plane)
+        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an SRP
+    bucket with the query in ANY of ``n_tables`` tables, then exact
+    cosine rerank.  Join is an equi-join on (table, bucket) — shuffle
+    scales with bucket occupancy, not |corpus|×|queries|."""
+    tables = [
+        _hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketize(df, ident, vname):
+        renamed = df.select(
+            F.col(id_col).alias(ident), F.col(vec_col).alias(vname)
+        )
+        parts = [
+            F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col(vname), planes).alias("bk"))
+            for t, planes in enumerate(tables)
+        ]
+        return renamed.select(
+            ident, vname, F.explode(F.array(*parts)).alias("bd")
+        ).select(ident, vname, F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk"))
+
+    cb = bucketize(corpus, "neighbor_id", "cv")
+    qb = bucketize(queries, "query_id", "qv")
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bk"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,114 @@
+"""Text-analysis operators: token counting, quality heuristics,
+document fingerprinting, and a SQL-only language guess — all pure
+Catalyst expressions over the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from quality_filter.dedup import normalized_text
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols —
+# a deterministic stand-in for a real tokenizer's token count.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "for",
+    "on", "with", "that", "this", "it", "as", "at", "by", "be",
+]
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace words, BPE-ish tokens, chars, distinct-word ratio."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(text, r"\s+")
+    return (
+        df.withColumn("n_chars", F.length(text))
+        .withColumn("n_words", F.size(words))
+        .withColumn("n_tokens", F.regexp_count(text, F.lit(BPE_ISH)))
+        .withColumn(
+            "distinct_word_ratio",
+            F.size(F.array_distinct(words)).cast("double")
+            / F.greatest(F.lit(1), F.size(words)),
+        )
+    )
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Heuristic [0,1] doc-quality score: length saturation, stopword
+    presence, alpha density, repetition penalty — the doc-level analog of
+    the reference's upstream ``doc_scores`` signal."""
+    n_chars = F.length(text)
+    words = F.split(F.lower(text), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop.cast("double") / F.greatest(F.lit(1), F.size(words))
+    alpha_ratio = (
+        n_chars - F.length(F.regexp_replace(text, r"\p{L}", ""))
+    ).cast("double") / F.greatest(F.lit(1), n_chars)
+    rep_ratio = F.size(F.array_distinct(words)).cast("double") / F.greatest(
+        F.lit(1), F.size(words)
+    )
+    len_sat = F.least(n_chars, F.lit(500)).cast("double") / 500.0
+    return F.bround(
+        0.3 * len_sat + 0.25 * alpha_ratio + 0.25 * rep_ratio
+        + 0.2 * F.least(stop_ratio * 4.0, F.lit(1.0)),
+        3,
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "quality_score", quality_score_expr(F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: rolling polynomial hash over
+    normalized words (aggregate HOF fold — order-sensitive, so
+    'a b' ≠ 'b a', unlike a bag-of-words md5).  Every step is reduced mod
+    2^52 so the fold never overflows a long under ANSI arithmetic
+    (acc < 2^52 → acc*31 + |reduced hash| < 2^58)."""
+    words = F.split(normalized_text(text), " ")
+    m = F.lit(1 << 52).cast("long")
+    return F.aggregate(
+        words,
+        F.lit(1125899906842597 % (1 << 52)).cast("long"),  # prime seed, reduced
+        lambda acc, w: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(w), m), m),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "fingerprint", fingerprint_expr(F.coalesce(F.col(text_col), F.lit("")))
+    )
+
+
+# SQL-only language guess: stopword-lexicon hit counting per language —
+# the Catalyst-native fallback when the ngram UDF is unavailable (and an
+# oracle-SQL-expressible langid variant).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "los", "es"],
+}
+
+
+def langid_sql_expr(text: Column) -> Column:
+    """argmax over per-language marker-word hit counts; 'und' when no
+    marker hits."""
+    words = F.split(F.lower(text), r"[^a-zçéàüöäñ]+")
+    counts = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        counts.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("n"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*counts))
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))

@@ -1,0 +1,117 @@
+"""Dedup (exact / MinHash-LSH / SimHash) and similarity-search tests with
+planted duplicates and brute-force ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_dedup,
+    minhash_jaccard,
+    minhash_signatures,
+    simhash_near_dups,
+)
+from quality_filter.similarity import cosine_topk, lsh_ann_topk
+
+BASE = ("the quick brown fox jumps over the lazy dog while the committee "
+        "reviews the proposal in detail and agrees on next steps for the project")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, f"unique document number {i} " + " ".join(f"w{i}k{j}" for j in range(20))))
+    rows.append((100, BASE))
+    rows.append((101, BASE))                         # exact dup of 100
+    rows.append((102, BASE.replace("lazy", "sleepy")))  # near dup
+    rows.append((103, "  " + BASE.upper() + "  "))   # normalized-exact dup
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    out = exact_dedup(dup_docs)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 100 in ids and 101 not in ids and 103 not in ids
+    assert 102 in ids  # near-dup, not exact
+    assert len(ids) == 32
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    sig = minhash_signatures(dup_docs, n_hashes=16)
+    pairs = lsh_candidates(sig, bands=4, rows_per_band=4)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert (100, 102) in got or (101, 102) in got
+    jac = {(r["a"], r["b"]): r["est_jaccard"] for r in minhash_jaccard(sig, pairs).collect()}
+    assert jac[(100, 101)] == 1.0
+
+
+def test_minhash_dedup_removes_near_dups(spark, dup_docs):
+    out = minhash_dedup(dup_docs, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 100 in ids and 101 not in ids and 102 not in ids
+    assert all(i in ids for i in range(30))
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_dups(dup_docs, max_hamming=6).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] == 0
+    assert (100, 103) in pairs and pairs[(100, 103)] == 0  # normalization
+    assert all(a >= 100 for a, b in pairs)  # no false positives among uniques
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def _brute_force_topk(emb, k=5, n_queries=3):
+    ids = np.array([e[0] for e in emb])
+    V = np.array([e[1] for e in emb], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = {}
+    for qi in range(n_queries):
+        sims = Vn @ Vn[qi]
+        order = [
+            int(ids[j])
+            for j in sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))
+            if ids[j] != ids[qi]
+        ]
+        out[int(ids[qi])] = order[:k]
+    return out
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return df, [(r["vec_id"], r["embedding"]) for r in df.collect()]
+
+
+def test_cosine_topk_matches_brute_force(spark, embeddings):
+    df, emb = embeddings
+    queries = df.filter("vec_id < 3")
+    got = {}
+    for r in cosine_topk(df, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    want = _brute_force_topk(emb, k=5, n_queries=3)
+    for q, pairs in got.items():
+        ordered = [nid for _, nid in sorted(pairs)]
+        assert ordered == want[q], (q, ordered, want[q])
+
+
+def test_lsh_ann_recall(spark, embeddings):
+    df, emb = embeddings
+    queries = df.filter("vec_id < 10")
+    ann = {}
+    # random-Gaussian embeddings are LSH's worst case (neighbors barely
+    # closer than random) — use wide buckets and many tables
+    for r in lsh_ann_topk(df, queries, k=5, n_bits=4, n_tables=12).collect():
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    want = _brute_force_topk(emb, k=5, n_queries=10)
+    recalls = [
+        len(ann.get(q, set()) & set(truth)) / len(truth) for q, truth in want.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

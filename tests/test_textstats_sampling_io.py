@@ -1,0 +1,207 @@
+"""Text stats, sampling/splits, IO round-trips, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quality_filter.io import (
+    read_jsonl,
+    read_jsonl_repair,
+    repair_stringified_array,
+    write_jsonl,
+    write_tsv_freq,
+)
+from quality_filter.sampling import (
+    deterministic_split,
+    downsample_label,
+    sample_uniform,
+    seeded_shuffle,
+    shard,
+    stratified_split_sampled,
+)
+from quality_filter.textstats import (
+    langid_sql_expr,
+    with_fingerprint,
+    with_quality_score,
+    with_token_stats,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="qf_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello world, 42 times!"), (2, ""), (3, "a a a a")],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in with_token_stats(df).collect()}
+    assert got[1]["n_words"] == 4
+    # Hello|world|,|42|times|! → 6 BPE-ish tokens
+    assert got[1]["n_tokens"] == 6
+    assert got[3]["distinct_word_ratio"] == 0.25
+
+
+def test_quality_score_orders(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The committee reviewed the proposal and agreed on the next "
+                "steps for the project with a clear timeline in mind."),
+            (2, "$$$ ### !!!"),
+            (3, "word word word word word word"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["quality_score"] for r in with_quality_score(df).collect()}
+    assert got[1] > got[3] > got[2]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "  Alpha   BETA ")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert got[1] != got[2]       # order matters (rolling hash)
+    assert got[1] == got[3]       # normalization: case + whitespace
+
+
+def test_langid_sql(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "zzz qqq"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lg"] for r in df.select("id", langid_sql_expr(F.col("text")).alias("lg")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+# --- sampling --------------------------------------------------------------
+
+def test_deterministic_split_weights_and_stability(spark):
+    df = spark.range(10000).withColumnRenamed("id", "key")
+    s1 = deterministic_split(df, "key")
+    s2 = deterministic_split(df.repartition(7), "key")
+    c = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(c["train"] / 10000 - 0.7) < 0.02
+    assert abs(c["val"] / 10000 - 0.15) < 0.02
+    m1 = {r["key"]: r["split"] for r in s1.collect()}
+    m2 = {r["key"]: r["split"] for r in s2.collect()}
+    assert m1 == m2  # partition-invariant
+
+
+def test_sampled_family_runs(spark):
+    df = spark.createDataFrame(
+        [(i, "Clean" if i % 5 else "Junk") for i in range(1000)], "id long, label string"
+    )
+    assert sample_uniform(df, 10, seed=1).count() == 10
+    down = downsample_label(df, "label", "Clean", 0.1, seed=1)
+    counts = {r["label"]: r["n"] for r in down.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts["Junk"] == 200 and counts["Clean"] < 200
+    tr, va, te = stratified_split_sampled(df, "label", seed=3)
+    assert tr.count() + va.count() + te.count() == 1000
+    assert shard(df, "id", 5, 0).count() + sum(shard(df, "id", 5, i).count() for i in range(1, 5)) == 1000
+    assert seeded_shuffle(df, 1).first() is not None
+
+
+# --- io --------------------------------------------------------------------
+
+def test_jsonl_roundtrip_unicode(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(1, "héllo wörld 中文"), (2, 'quotes "and" backslash \\')],
+        "id long, text string",
+    )
+    write_jsonl(df, f"{tmpdir}/out", single_file=True)
+    back = read_jsonl(spark, f"{tmpdir}/out", T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("text", T.StringType())]))
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == {1: "héllo wörld 中文", 2: 'quotes "and" backslash \\'}
+    # ensure_ascii=False equivalence: raw bytes contain the unicode chars
+    import glob
+    raw = open(glob.glob(f"{tmpdir}/out/part-*")[0], "rb").read()
+    assert "héllo".encode() in raw and "中文".encode() in raw
+
+
+def test_jsonl_repair(spark, tmpdir):
+    import os
+    os.makedirs(f"{tmpdir}/in")
+    with open(f"{tmpdir}/in/data.jsonl", "w") as f:
+        f.write('{"id": 1, "text": "ok"}\n')
+        f.write("this is not json\n")
+        f.write('{"id": 2, "text": "also ok"}\n')
+        f.write("\n")  # blank line skipped (S1 semantics)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("text", T.StringType())])
+    good, bad = read_jsonl_repair(spark, f"{tmpdir}/in", schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+
+
+def test_repair_stringified_array(spark):
+    df = spark.createDataFrame(
+        [(1, "[0.1, 0.2]"), (2, "[1.0]")], "id long, line_quality string"
+    )
+    out = {r["id"]: r["line_quality"] for r in
+           repair_stringified_array(df, "line_quality").collect()}
+    assert out[1] == [0.1, 0.2] and out[2] == [1.0]
+
+
+def test_tsv_freq_sink(spark, tmpdir):
+    df = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "a", "c", "a", "b"]], "label string"
+    )
+    write_tsv_freq(df, f"{tmpdir}/freq")
+    import glob
+    lines = open(glob.glob(f"{tmpdir}/freq/part-*")[0]).read().strip().split("\n")
+    assert lines == ["a\t3", "b\t2", "c\t1"]
+
+
+# --- multimodal ------------------------------------------------------------
+
+def test_multimodal_plumbing(spark):
+    from quality_filter.multimodal import (
+        extract_features,
+        resize_meta,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert len(r["feature"]) == 32
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+
+    rz = {r["media_id"]: r["resize_to"] for r in resize_meta(media).collect()
+          if r["modality"] == "image"}
+    for v in rz.values():
+        assert v["width"] == 224 and v["height"] == 168
+
+    fp = {r["media_id"]: r["frame_plan"] for r in sample_frames(media).collect()}
+    video_ids = [r["media_id"] for r in media.filter("modality='video'").collect()]
+    assert all(list(fp[i]) == list(range(0, 300, 30)) for i in video_ids)
+    assert all(fp[i] == [] for i in fp if i not in video_ids)
+
+
+def test_real_codec_is_marked_unimplemented(spark):
+    from quality_filter.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode("image", b"\x00")
