@@ -29,7 +29,7 @@ from quality_filter.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-N_CONVS = int(os.environ.get("BENCH_N_CONVS", "20000"))
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "160000"))  # ≈3.36M turns
 CACHE_DIR = Path(__file__).resolve().parent / ".bench_data"
 
 

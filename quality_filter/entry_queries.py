@@ -608,3 +608,210 @@ def q_perplexity_turns(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return with_perplexity(docs.select("doc_id", "text")).select("doc_id", "logppl")
+
+
+# ---------------------------------------------------------------------------
+# round-1 extension: dedup / simhash / ANN / text-analysis / sessionize
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+@_register(
+    "exact_dedup_docs",
+    f"WITH keyed AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents), "
+    "keep AS (SELECT fp, min(doc_id) AS doc_id FROM keyed GROUP BY fp) "
+    "SELECT doc_id FROM keep",
+)
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup (hash-groupBy on normalized text, deterministic keeper)."""
+    from quality_filter.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+def _simhash16_sql() -> str:
+    # md5 computed once per word (CTE), then 16 bit-votes over the digest
+    # list: bit i lives in hex char i//4 (1-based substr), sub-bit i%4
+    bits = []
+    for i in range(16):
+        ch, bit = i // 4 + 1, i % 4
+        val = f"(strpos('0123456789abcdef', substr(m, {ch}, 1)) - 1)"
+        vote = (
+            f"list_sum(list_transform(hs, "
+            f"m -> CASE WHEN ({val} // {2 ** bit}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN {2 ** i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@_register(
+    "simhash16_docs",
+    f"WITH h AS (SELECT doc_id, list_transform(string_split({_NORM_SQL}, ' '), "
+    f"w -> md5(w)) AS hs FROM documents) "
+    f"SELECT doc_id, {_simhash16_sql()} AS simhash FROM h",
+)
+def q_simhash16_docs(spark, sf_dir):
+    """16-bit SimHash fingerprint (portable md5-bit variant of the
+    64-bit xxhash64 SimHash in quality_filter.dedup)."""
+    from quality_filter.dedup import normalized_text
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(normalized_text(F.col("text")), " ")
+    hashed = docs.select(
+        "doc_id",
+        F.transform(words, lambda w: F.md5(F.encode(w, "UTF-8"))).alias("hs"),
+    )
+
+    def vote(i: int):
+        ch, bit = i // 4 + 1, i % 4
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, m: acc
+            + F.when(
+                (
+                    (F.conv(F.substring(m, ch, 1), 16, 10).cast("int")
+                     / F.lit(2 ** bit)).cast("int") % 2
+                )
+                == 1,
+                1,
+            ).otherwise(-1),
+        )
+
+    sim = None
+    for i in range(16):
+        term = F.when(vote(i) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return hashed.select("doc_id", sim.alias("simhash"))
+
+
+@_register(
+    "ann_cosine_top5",
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3), "
+    "p AS (SELECT q.query_id, v.vec_id AS neighbor_id, "
+    " round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i])) / "
+    " (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) * "
+    "  sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))), 6) AS cos "
+    " FROM v, q WHERE v.vec_id != q.query_id), "
+    "r AS (SELECT query_id, neighbor_id, "
+    " row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+    " FROM p) "
+    "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5",
+)
+def q_ann_cosine_top5(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for queries vec_id < 3 (ranks
+    computed on round(cos, 6) with vec_id tiebreak for cross-engine float
+    stability)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from quality_filter.similarity import _dot, _norm
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    scored = joined.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _langid_sql_oracle() -> str:
+    from quality_filter.textstats import LANG_MARKERS
+
+    structs = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        n = (
+            f"len(list_filter(string_split_regex(lower(text), '[^a-zçéàüöäñ]+'), "
+            f"w -> list_contains({arr}, w)))"
+        )
+        structs.append(f"struct_pack(n := {n}, lang := '{lang}')")
+    best = f"list_max([{', '.join(structs)}])"
+    return (
+        f"SELECT doc_id, CASE WHEN ({best}).n > 0 THEN ({best}).lang "
+        f"ELSE 'und' END AS lang_guess FROM documents"
+    )
+
+
+@_register("langid_sql_docs", _langid_sql_oracle())
+def q_langid_sql_docs(spark, sf_dir):
+    """SQL-only language guess (marker-word lexicon argmax) — the
+    Catalyst-native langid fallback, fully oracle-checkable."""
+    from quality_filter.textstats import langid_sql_expr
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", langid_sql_expr(F.col("text")).alias("lang_guess"))
+
+
+@_register(
+    "lang_source_crosstab",
+    "SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source",
+)
+def q_lang_source_crosstab(spark, sf_dir):
+    """G8 crosstab as a two-key groupBy."""
+    return _docs(spark, sf_dir).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "union_distinct_users",
+    "SELECT DISTINCT user_id FROM ("
+    " SELECT user_id FROM events WHERE event_type = 'click'"
+    " UNION ALL SELECT user_id FROM events WHERE event_type = 'purchase')",
+)
+def q_union_distinct_users(spark, sf_dir):
+    """U1/U2: unionByName + distinct."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = events.filter("event_type = 'click'").select("user_id")
+    b = events.filter("event_type = 'purchase'").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@_register(
+    "shard_events",
+    "SELECT event_id, user_id FROM events WHERE (event_id * 2654435761) % 5 = 0",
+)
+def q_shard_events(spark, sf_dir):
+    """R5: deterministic 1-of-5 shard via integer mixing."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.filter((F.col("event_id") * 2654435761) % 5 == 0).select(
+        "event_id", "user_id"
+    )
+
+
+@_register(
+    "sessionize_events",
+    "WITH t AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us, "
+    " lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us "
+    " FROM events) "
+    "SELECT user_id, event_id, "
+    " sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)"
+    "  OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+    "FROM t",
+)
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    session-break flags — the batch analog of a session window."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800 * 1000 * 1000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return events.select(
+        "user_id", "event_id", F.sum(brk).over(run).alias("session_id")
+    )
