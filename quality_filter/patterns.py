@@ -16,6 +16,13 @@ RE2; the Python oracle counts letters via ``str.isalpha`` which matches the
 same L* categories), and explicit whitespace classes instead of ``\\s``
 (Java ``\\s`` is ASCII-only while Python's is Unicode-aware).
 
+Known limitation (found by fuzzing, tests/test_property_parity.py):
+codepoints *assigned after Unicode 13* classify differently across the
+three engines (Python 3.11 carries Unicode 14 tables, Java 17 carries 13,
+RE2 its own) — e.g. U+9FFE is ``\\p{L}`` to Python but unassigned to Java.
+Long-stable ranges (ASCII, Latin, Greek, Cyrillic, the original CJK block)
+agree everywhere; parity is guaranteed for those.
+
 The rule *content* re-expresses the reference's label definitions — the
 prompt taxonomy at ``/root/reference/src/prompts.py:170-193`` (navigation,
 boilerplate, garbled/symbol-heavy text, code/markup, contact info, spam,

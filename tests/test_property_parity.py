@@ -1,0 +1,89 @@
+"""Property-based parity: Spark rules/scrub vs the Python oracle on
+hypothesis-generated unicode text.
+
+One Spark job per example is too slow, so examples are accumulated per
+test run: hypothesis generates a batch of strings up front (deterministic
+seed), and a single Spark round-trip checks them all.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from quality_filter.rules import score_turns
+from quality_filter.scrub import scrub_turns
+from tests import oracle
+
+# Alphabet restricted to ranges assigned since early Unicode versions:
+# Python 3.11 (Unicode 14), Java 17 (Unicode 13) and RE2 classify
+# *recently assigned* codepoints differently (fuzzing caught U+9FFE: a
+# letter to Python, unassigned to Java's \p{L}) — a documented engine
+# limitation, not a rule bug.  Long-stable ranges agree everywhere.
+_STABLE = (
+    list(range(0x00, 0x300))        # ASCII + Latin-1 + Latin Extended
+    + list(range(0x370, 0x3FF))     # Greek
+    + list(range(0x400, 0x4FF))     # Cyrillic
+    + list(range(0x2000, 0x2070))   # general punctuation (incl.   etc.)
+    + list(range(0x4E00, 0x9EA0))   # CJK unified (Unicode 1.0 block)
+)
+TEXTS = st.text(alphabet=[chr(c) for c in _STABLE], max_size=200)
+SEEDY = st.lists(TEXTS, min_size=1, max_size=40)
+
+
+def _collect_examples(n_batches: int = 8) -> list[str]:
+    out: list[str] = []
+
+    @settings(max_examples=n_batches, deadline=None, database=None, derandomize=True)
+    @given(SEEDY)
+    def gather(batch):
+        out.extend(batch)
+
+    gather()
+    # plus adversarial hand-picked ones
+    out += [
+        "a" * 4999,
+        "@" * 50,
+        "\x00\x01\x02",
+        "mixed  nbsp and   ls",
+        "ｗｉｄｅ ｔｅｘｔ",
+        "\\d [0-9]+ regex-looking (?i) input $1",
+        "newline\ninside turn",
+    ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def examples():
+    return _collect_examples()
+
+
+def test_rules_parity_on_fuzz(spark, examples):
+    df = spark.createDataFrame(
+        [("c", i, t) for i, t in enumerate(examples)],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = score_turns(df).select("turn_idx", "label", "clean_score").collect()
+    assert len(rows) == len(examples)
+    bad = []
+    for r in rows:
+        t = examples[r["turn_idx"]]
+        wl = oracle.label_of(t)
+        ws = oracle.clean_score_of(t, wl)
+        if r["label"] != wl or r["clean_score"] != ws:
+            bad.append((repr(t)[:80], r["label"], wl, r["clean_score"], ws))
+    assert not bad, bad[:5]
+
+
+def test_scrub_parity_on_fuzz(spark, examples):
+    df = spark.createDataFrame(
+        [("c", i, t) for i, t in enumerate(examples)],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = scrub_turns(df).select("turn_idx", "scrubbed_text").collect()
+    bad = []
+    for r in rows:
+        t = examples[r["turn_idx"]]
+        if r["scrubbed_text"] != oracle.scrub_of(t):
+            bad.append((repr(t)[:80], repr(r["scrubbed_text"])[:80]))
+    assert not bad, bad[:5]
