@@ -59,7 +59,9 @@ def feature_columns(text: Column) -> dict[str, Column]:
     ASCII classes ``[0-9]`` / ``[ \\t\\r\\n\\x0B\\f]`` the oracle uses.
     """
     n_chars = F.length(text)
-    n_letter = F.regexp_count(text, F.lit(r"\p{L}"))
+    # length-diff of a regexp_replace beats regexp_count (which
+    # materializes every single-char match into an array per row)
+    n_letter = n_chars - F.length(F.regexp_replace(text, r"\p{L}", ""))
     n_digit = n_chars - F.length(F.translate(text, "0123456789", ""))
     n_space = n_chars - F.length(F.translate(text, " \t\r\n\x0b\f", ""))
     n_nonspace = n_chars - n_space
@@ -83,6 +85,50 @@ _COMBINED_DEFECT = P.ci(
         [pat.removeprefix("(?i)") for _, pat in REGEX_RULES] + [P.SYMBOL_RUN]
     ) + ")"
 )
+
+# --- two-level screen -------------------------------------------------------
+# A NECESSARY condition for _COMBINED_DEFECT, ~4× cheaper to test (JVM
+# substring search on lowered text + one tiny regex) than the big
+# alternation NFA.  Soundness audit: every top-level alternative of every
+# rule pattern either contains one of these literals after ASCII case
+# folding (Java (?i) folds ASCII only, so lower(text).contains(lit) is
+# implied by any case-insensitive literal match) or requires a character
+# matched by _SCREEN_SMALL (digits, symbol runs, all-letter 32-hex, x-*:
+# headers).  Unsoundness would break oracle-parity + fuzz tests.
+_SCREEN_LITERALS = [
+    "@", "<", "`", "{", "}", ";",                       # EMAIL, HTML, code
+    "contact us", "call us", "tel:", "fax:", "mail us",  # CONTACT (e-?mail us → 'mail us')
+    "http", "www.",                                      # URL / http-1.x
+    "text/html", "utf-8", "charset=",
+    "user-agent", "content-type", "accept-encoding",
+    "all rights reserved", "terms of service", "terms and conditions",
+    "privacy policy", "cookie policy", "legal notice", "disclaimer",
+    "gdpr", "(c)", "©",
+    "et al.", "doi:", "[", "pp.", "vol.", "isbn ", "ibid.",
+    "home page", "homepage", "log in", "login", "sign up", "signup",
+    "next page", "previous page", "click here", "main menu",
+    "site map", "sitemap", "back to top", "skip to content", "read more",
+    "search results", "breadcrumb", "navigation bar", "toggle menu",
+    "buy now", "limited time offer", "discount code", "free shipping",
+    "subscribe now", "casino", "jackpot", "winner winner",
+    "claim your prize", "100% free", "act now", "best price guaranteed",
+    "order today", "!!!",
+    "idiot", "moron", "stupid fool", "i hate you", "shut up forever",
+    "worthless loser", "garbage person", "trash human",
+]
+_SCREEN_SMALL = r"([\-_=*#~$%^&+|\\/.]{5,}|[0-9]|\b[a-f]{32}\b|x-[a-z\-]+:)"
+
+
+def _defect_hit(text: Column) -> Column:
+    """screen AND confirm: equals ``text.rlike(_COMBINED_DEFECT)`` but the
+    big regex only runs on rows the cheap screen lets through (Spark's
+    boolean AND short-circuits in generated code)."""
+    lowered = F.lower(text)
+    screen = F.lit(False)
+    for lit in _SCREEN_LITERALS:
+        screen = screen | lowered.contains(lit)
+    screen = screen | text.rlike(_SCREEN_SMALL)
+    return screen & text.rlike(_COMBINED_DEFECT)
 
 
 def label_expr(text: Column) -> Column:
@@ -109,7 +155,7 @@ def label_expr(text: Column) -> Column:
     for label, pattern in reversed(REGEX_RULES):
         full = F.when(text.rlike(pattern), F.lit(label)).otherwise(full)
     return F.when(
-        ~text.rlike(_COMBINED_DEFECT) & ~ratio_formatting, F.lit(LABELS[0])
+        ~_defect_hit(text) & ~ratio_formatting, F.lit(LABELS[0])
     ).otherwise(full)
 
 
@@ -195,7 +241,7 @@ def clean_fastpath_predicate(text: Column) -> Column:
             & (feats["alpha_ratio"] < F.lit(ALPHA_RATIO_MIN))
         )
     )
-    return ~text.rlike(_COMBINED_DEFECT) & ~ratio_formatting
+    return ~_defect_hit(text) & ~ratio_formatting
 
 
 def score_clean_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -236,7 +282,7 @@ def score_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     for label, pattern in reversed(REGEX_RULES):
         full = F.when(text.rlike(pattern), F.lit(label)).otherwise(full)
     label = F.when(
-        ~text.rlike(_COMBINED_DEFECT) & ~_ratio_formatting(feats), F.lit(LABELS[0])
+        ~_defect_hit(text) & ~_ratio_formatting(feats), F.lit(LABELS[0])
     ).otherwise(full)
     labeled = base.withColumn("label", label)
     score_raw = (

@@ -79,6 +79,51 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     return out
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold):
+    SRP-LSH self-join candidates, exact cosine verify.  Near-identical
+    vectors collide in every table, so recall at high thresholds is ~1
+    while the join stays sub-quadratic."""
+    tables = [_hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+    renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    parts = [
+        F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col("v"), planes).alias("bk"))
+        for t, planes in enumerate(tables)
+    ]
+    b = renamed.select("id", "v", F.explode(F.array(*parts)).alias("bd")).select(
+        "id", "v", F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.v").alias("va"),
+            F.col("y.v").alias("vb"),
+        )
+        .distinct()
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.select("a", "b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -115,3 +115,24 @@ def test_lsh_ann_recall(spark, embeddings):
         len(ann.get(q, set()) & set(truth)) / len(truth) for q, truth in want.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_embedding_near_dups(spark, embeddings):
+    from pyspark.sql import functions as F
+    from quality_filter.similarity import embedding_near_dups
+
+    df, emb = embeddings
+    # plant two near-identical copies of vec 0
+    v0 = emb[0][1]
+    extra = spark.createDataFrame(
+        [(9001, [x * 1.0001 for x in v0], 0), (9002, list(v0), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    world = df.unionByName(extra)
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in
+             embedding_near_dups(world, threshold=0.99).collect()}
+    assert (0, 9001) in pairs and (0, 9002) in pairs and (9001, 9002) in pairs
+    for c in pairs.values():
+        assert c >= 0.99
+    # random vectors must not appear as near-dups at 0.99
+    assert all(a >= 9001 or b >= 9001 or a == 0 for (a, b) in pairs), pairs
