@@ -815,3 +815,50 @@ def q_sessionize_events(spark, sf_dir):
     return events.select(
         "user_id", "event_id", F.sum(brk).over(run).alias("session_id")
     )
+
+
+@_register(
+    "doc_cleanliness_bucket",
+    _with_turns(
+        "SELECT doc_id, CASE WHEN CAST(sum(CASE WHEN label='Clean' THEN 1 ELSE 0 END) AS DOUBLE)/count(*) >= 2.0/3.0 THEN 'mostly_clean' "
+        "WHEN CAST(sum(CASE WHEN label='Clean' THEN 1 ELSE 0 END) AS DOUBLE)/count(*) > 1.0/3.0 THEN 'mixed' "
+        "ELSE 'mostly_junk' END AS bucket FROM scored GROUP BY doc_id"
+    ),
+)
+def q_doc_cleanliness_bucket(spark, sf_dir):
+    """G7: majority-cleanliness bucket per document
+    (quality_label_correlation notebook cell 3)."""
+    from quality_filter.taxonomy import doc_cleanliness_bucket
+
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    pct = (
+        F.sum(F.when(F.col("label") == "Clean", 1).otherwise(0)).cast("double")
+        / F.count(F.lit(1))
+    )
+    return t.groupBy("doc_id").agg(pct.alias("_p")).select(
+        "doc_id", doc_cleanliness_bucket(F.col("_p")).alias("bucket")
+    )
+
+
+@_register(
+    "class_weights",
+    _with_turns(
+        "SELECT label, CAST(total AS DOUBLE) / (n_classes * cnt) AS weight "
+        "FROM (SELECT label, count(*) AS cnt FROM scored GROUP BY label) per, "
+        "(SELECT count(*) AS total, count(DISTINCT label) AS n_classes FROM scored) tot"
+    ),
+)
+def q_class_weights(spark, sf_dir):
+    """G5: balanced class weights n/(k*count)
+    (src/train_classifier.py:98-106) as a relational computation."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    per = t.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "label",
+        (F.col("total").cast("double") / (F.col("n_classes") * F.col("cnt"))).alias(
+            "weight"
+        ),
+    )

@@ -331,8 +331,14 @@ def clean_pipeline(
             out = apply_trim_mode(scored, keep, strategy)
     if min_doc_length > 1:
         out = apply_min_doc_length(out, min_doc_length, strategy)
-    else:
+    elif not (mode == "filter" and remove_all):
         out = drop_empty_convs(out, strategy)
+    # else: the empty-conversation gate is provably a no-op — every
+    # survivor of the remove-all filter is Clean, and an empty/whitespace
+    # turn always labels "Formatting, Style & Errors" (n_nonspace == 0),
+    # so surviving conversations have ≥1 non-empty turn ⇒ doc_len > 0.
+    # Skipping it removes the pipeline's ONLY shuffle: the whole job is a
+    # single narrow stage.
     if scrub:
         out = scrub_turns(out)
     return out
