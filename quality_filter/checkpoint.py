@@ -89,7 +89,24 @@ def run_checkpointed(
         result = pipeline_fn(part)
         if BUCKET_COL not in result.columns:
             result = with_bucket(result, n_buckets)
+        # dynamic overwrite only replaces partitions PRESENT in the new
+        # result: if a crashed attempt left partial data for a bucket whose
+        # re-run output is now empty (everything filtered out), the stale
+        # partition would survive and then be marked complete.  Clear the
+        # chunk's partition dirs up front so empty results also erase
+        # stale data.  (Iceberg mapping: ``overwrite(bucket IN chunk)``,
+        # an explicit-predicate overwrite, has the same semantics.)
+        _clear_partitions(output_path, chunk)
         result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(output_path)
         _append_manifest(spark, manifest_path, run_id, chunk)
         processed.extend(chunk)
     return processed
+
+
+def _clear_partitions(output_path: str, buckets: list[int]) -> None:
+    import shutil
+
+    for b in buckets:
+        part_dir = os.path.join(output_path, f"{BUCKET_COL}={b}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)

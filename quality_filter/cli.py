@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> None:
 
     p_salv = sub.add_parser("salvage", help="salvage composite filter")
     common(p_salv)
+    # salvage's reference default is 250 (src/salvage_low_quality_data.py:274);
+    # an explicit --min-doc-length 0/1 must pass through unchanged (it
+    # disables the gate), so the default lives here, not in a > 1 remap
+    p_salv.set_defaults(min_doc_length=250)
 
     args = parser.parse_args(argv)
     mode = _mode(args)  # validate filter/trim exclusivity before any IO
@@ -119,11 +123,7 @@ def main(argv: list[str] | None = None) -> None:
             min_doc_length=args.min_doc_length,
         )
     else:  # salvage
-        out = salvage_pipeline(
-            df,
-            mode=mode,
-            min_doc_length=args.min_doc_length if args.min_doc_length > 1 else 250,
-        )
+        out = salvage_pipeline(df, mode=mode, min_doc_length=args.min_doc_length)
 
     if args.manifest_path:
         from quality_filter.checkpoint import run_checkpointed
@@ -143,7 +143,9 @@ def main(argv: list[str] | None = None) -> None:
                     score_threshold=args.quality_threshold,
                     min_doc_length=args.min_doc_length,
                 )
-            return salvage_pipeline(part, mode=mode)
+            return salvage_pipeline(
+                part, mode=mode, min_doc_length=args.min_doc_length
+            )
 
         done = run_checkpointed(
             spark, df, fn, args.save_path, args.manifest_path, args.run_id

@@ -33,13 +33,16 @@ def exact_dedup(
 
 
 def word_shingles(text_col, k: int = 3):
-    """Array of k-word shingles."""
+    """Array of k-word shingles.  Empty for docs with fewer than ``k``
+    words: ``sequence(1, 0)`` is DESCENDING in Spark (yields [1, 0] and the
+    0 start then crashes ``slice``), so the short-doc case must be guarded
+    explicitly — DuckDB's ``range(0, n)`` is already empty for n <= 0."""
     w = F.split(text_col, " ")
-    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n),
+    n = F.size(w) - (k - 1)
+    return F.when(n >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
         lambda i: F.array_join(F.slice(w, i, k), " "),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -53,9 +56,12 @@ def minhash_signatures(
     shingle) for each of ``n_hashes`` seeded permutations.  Output:
     (id, h0..h{n-1}).  One explode + one groupBy (map-side combine keeps
     the shuffle at one row per doc)."""
+    # no .distinct() on the exploded shingles: min() is duplicate-
+    # insensitive, and the distinct would be a second full shuffle of the
+    # widest intermediate in the job
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).distinct()
+    )
     aggs = [
         F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"h{s}") for s in range(n_hashes)
     ]

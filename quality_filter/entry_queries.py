@@ -363,6 +363,21 @@ def q_dedup_prefix_exact(spark, sf_dir):
     )
 
 
+def _word_shingles3(text_col):
+    """3-word shingles, empty for docs under 3 words (Spark sequence(0, -1)
+    is DESCENDING and would crash the slice; DuckDB range(0, n<=0) is
+    already empty — the guard keeps the two sides aligned on short docs)."""
+    w = F.split(text_col, " ")
+    n_sh = F.size(w) - 2
+    return F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_sh, F.lit(1)) - 1),
+            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @_register(
     "jaccard_near_dups",
     "WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
@@ -380,14 +395,8 @@ def q_jaccard_near_dups(spark, sf_dir):
     """n-gram Jaccard near-dup detection: 3-word shingles, shingle-join
     candidate generation, Jaccard >= 0.5."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    w = F.split("text", " ")
-    n_sh = (F.size(w) - 2).cast("bigint")
-    shingles = F.transform(
-        F.sequence(F.lit(0), (n_sh - 1).cast("int")),
-        lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
-    )
     sh = (
-        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        docs.select("doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -417,28 +426,31 @@ def _minhash_sql() -> str:
         f"min(md5('s{s}|' || shingle)) AS h{s}" for s in range(8)
     )
     return (
-        "WITH sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
+        "WITH sh AS (SELECT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
         " i -> array_to_string(string_split(text,' ')[(i+1):(i+3)], ' '))) AS shingle"
         " FROM documents),"
         f"sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),"
-        "bands AS (SELECT doc_id, md5(h0 || h1 || h2 || h3) AS band1, md5(h4 || h5 || h6 || h7) AS band2 FROM sig) "
+        # exploded-band layout: one row per (doc, band) with the band hash as
+        # an equi-join key — mirrors the Spark side so both plan as hash joins
+        "bands AS ("
+        " SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bh FROM sig"
+        " UNION ALL"
+        " SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bh FROM sig) "
         "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a JOIN bands b"
-        " ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)"
+        " ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
     )
 
 
 @_register("minhash_candidates", _minhash_sql())
 def q_minhash_candidates(spark, sf_dir):
     """MinHash+LSH candidate pairs: 8 md5-string min-hash permutations,
-    2 bands × 4 rows, band-collision join."""
+    2 bands × 4 rows, band-collision detection as an EQUI-join on
+    (band_idx, band_hash) — the exploded-band layout (one row per doc per
+    band) keeps the join hash-partitionable; an OR of band equalities
+    would force a BroadcastNestedLoopJoin (O(n²) at scale).  Same layout
+    as dedup.lsh_candidates."""
     docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
-    n_sh = (F.size(w) - 2).cast("bigint")
-    shingles = F.transform(
-        F.sequence(F.lit(0), (n_sh - 1).cast("int")),
-        lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
-    )
-    sh = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    sh = docs.select("doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle"))
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"s{s}|"), F.col("shingle")), "UTF-8"))).alias(f"h{s}")
         for s in range(8)
@@ -446,19 +458,27 @@ def q_minhash_candidates(spark, sf_dir):
     sig = sh.groupBy("doc_id").agg(*aggs)
     bands = sig.select(
         "doc_id",
-        F.md5(F.encode(F.concat("h0", "h1", "h2", "h3"), "UTF-8")).alias("band1"),
-        F.md5(F.encode(F.concat("h4", "h5", "h6", "h7"), "UTF-8")).alias("band2"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.md5(F.encode(F.concat("h0", "h1", "h2", "h3"), "UTF-8")).alias("bh"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.md5(F.encode(F.concat("h4", "h5", "h6", "h7"), "UTF-8")).alias("bh"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("doc_id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.col("a.band1") == F.col("b.band1"))
-                | (F.col("a.band2") == F.col("b.band2"))
-            ),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .distinct()
@@ -547,7 +567,9 @@ def q_window_events(spark, sf_dir):
 @_register(
     "tpch_pricing_summary",
     "SELECT l_returnflag, l_linestatus, "
-    "sum(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+    # DuckDB sum(BIGINT) returns HUGEINT (int128) — cast back to BIGINT so
+    # the driver's schema/value hash matches Spark's bigint
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
     "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price, "
     "count(*) AS count_order FROM lineitem "
     "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
@@ -795,9 +817,10 @@ def q_shard_events(spark, sf_dir):
     " lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us "
     " FROM events) "
     "SELECT user_id, event_id, "
-    " sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)"
+    # CAST: DuckDB's windowed sum over integers yields HUGEINT
+    " CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)"
     "  OVER (PARTITION BY user_id ORDER BY ts, event_id"
-    "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+    "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id "
     "FROM t",
 )
 def q_sessionize_events(spark, sf_dir):

@@ -10,10 +10,12 @@ Reference semantics (all re-expressed as declarative Catalyst plans):
   survive (``src/filter_by_quality_label.py:77-90``,
   ``src/filter_by_quality_score.py:37-56``); all-bad conversation → empty
   → dropped (``src/filter_by_quality_label.py:188``).
-- salvage mode — keep iff label == 'Clean' AND clean_score > 0.9 (strict)
-  AND turn lang == document lang (``src/salvage_low_quality_data.py:183-188``),
-  doc pre-gate ``doc_scores[0] < 5 AND len(text) >= min_doc_length``
-  (``src/salvage_low_quality_data.py:246``), post-gate
+- salvage mode — filter: keep iff label == 'Clean' AND clean_score > 0.9
+  (strict) AND turn lang == document lang
+  (``src/salvage_low_quality_data.py:183-188``); trim: edge-bound on the
+  label ALONE (``quality_labels[i] != "Clean"``, ``:191-203`` — no score
+  or lang condition); doc pre-gate ``doc_scores[0] < 5 AND len(text) >=
+  min_doc_length`` (``src/salvage_low_quality_data.py:246``), post-gate
   ``len(text) >= min_doc_length`` (``:219``).
 - empty-doc drop — P4 (``src/filter_by_quality_label.py:188``).
 
@@ -94,8 +96,13 @@ def _attach_per_conv(
     if strategy == "agg_join":
         agg_df = df.groupBy("conv_id").agg(
             *[expr.alias(name) for name, expr in aggs.items()]
-        )
-        return df.join(agg_df, "conv_id", "inner")
+        ).withColumnRenamed("conv_id", "_agg_conv_id")
+        # null-safe equality: the window strategy treats NULL conv_id as
+        # one partition group, so the join-back must too (a plain inner
+        # equi-join would silently drop NULL-conv_id rows)
+        return df.join(
+            agg_df, F.col("conv_id").eqNullSafe(F.col("_agg_conv_id")), "inner"
+        ).drop("_agg_conv_id")
     raise ValueError(f"unknown strategy: {strategy}")
 
 
@@ -371,10 +378,13 @@ def salvage_pipeline(
 
         scored = with_langid(scored)
     scored = with_document_lang(scored, strategy)
-    keep = keep_by_salvage()
     if mode == "filter":
-        out = apply_filter_mode(scored, keep)
+        out = apply_filter_mode(scored, keep_by_salvage())
     else:
-        out = apply_trim_mode(scored, keep, strategy)
+        # the reference's salvage TRIM path bounds on the label alone —
+        # no score or lang condition (``src/salvage_low_quality_data.py:
+        # 191-203`` loops on ``quality_labels[i] != "Clean"`` only); the
+        # composite predicate applies to filter mode only (``:186-188``)
+        out = apply_trim_mode(scored, F.col("label") == "Clean", strategy)
     out = apply_min_doc_length(out, min_doc_length, strategy)
     return out.drop("document_lang")

@@ -113,6 +113,43 @@ def test_bucket_rerun_replaces_not_duplicates(spark, transcripts, tmpdir):
     assert _collect_keys(spark, out) == baseline  # replaced, not appended
 
 
+def test_empty_rerun_clears_stale_partial_partition(spark, transcripts, tmpdir):
+    """A crashed attempt's partial partition must be erased even when the
+    re-run's output for that bucket is EMPTY (dynamic partition overwrite
+    alone only replaces partitions present in the new result)."""
+    import os
+
+    out, manifest = f"{tmpdir}/out", f"{tmpdir}/manifest"
+    n_buckets = 4
+    # plant stale partial data for every bucket (simulating a crashed run)
+    stale = with_bucket(transcripts.limit(50), n_buckets)
+    stale.write.partitionBy(BUCKET_COL).parquet(out)
+    planted = {d for d in os.listdir(out) if d.startswith(f"{BUCKET_COL}=")}
+    assert planted
+
+    # re-run with a pipeline that filters EVERYTHING out
+    def empty_pipeline(df):
+        return _pipeline(df).filter(F.lit(False))
+
+    run_checkpointed(
+        spark, transcripts, empty_pipeline, out, manifest, "runC",
+        n_buckets=n_buckets, buckets_per_batch=2,
+    )
+    leftover = [
+        d for d in os.listdir(out)
+        if d.startswith(f"{BUCKET_COL}=") and os.listdir(os.path.join(out, d))
+    ]
+    assert leftover == [], f"stale partitions survived: {leftover}"
+    # no parquet data files remain anywhere under the output root
+    stray = [
+        os.path.join(r, f)
+        for r, _, files in os.walk(out)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    assert stray == [], f"stale files survived: {stray}"
+
+
 def test_conversations_never_straddle_buckets(spark, transcripts):
     b = with_bucket(transcripts, 8)
     n = (

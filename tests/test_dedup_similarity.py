@@ -41,6 +41,23 @@ def test_exact_dedup(spark, dup_docs):
     assert len(ids) == 32
 
 
+def test_minhash_survives_short_docs(spark):
+    """Docs with < k words (incl. empty/whitespace) must yield EMPTY
+    shingle arrays, not crash: sequence(1, 0) is descending in Spark and
+    slice(words, 0, k) throws INVALID_PARAMETER_VALUE.START."""
+    rows = [(0, ""), (1, "   "), (2, "one"), (3, "two words"),
+            (4, "exactly three words"), (5, BASE), (6, BASE)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df)
+    # docs with < k words produce zero shingles → no signature row at all
+    # (doc 1, "   ", splits into 4 empty-string words → degenerate shingles)
+    assert sorted(r["doc_id"] for r in sig.select("doc_id").collect()) == [1, 4, 5, 6]
+    out = minhash_dedup(df, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 5 in ids and 6 not in ids          # the dup pair still collapses
+    assert {0, 1, 2, 3, 4} <= set(ids)        # short docs pass through
+
+
 def test_minhash_lsh_finds_near_dups(spark, dup_docs):
     sig = minhash_signatures(dup_docs, n_hashes=16)
     pairs = lsh_candidates(sig, bands=4, rows_per_band=4)

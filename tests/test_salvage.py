@@ -39,10 +39,13 @@ def _oracle_salvage(rows, mode, min_doc_length):
             continue
         oracle.score(turns)
         doc_lang = oracle.document_lang(turns)
-        keep = oracle.keep_flags(turns, salvage_doc_lang=doc_lang)
         if mode == "filter":
+            keep = oracle.keep_flags(turns, salvage_doc_lang=doc_lang)
             survivors = oracle.filter_mode(turns, keep)
         else:
+            # reference salvage trim bounds on the label alone
+            # (src/salvage_low_quality_data.py:191-203)
+            keep = [t.label == "Clean" for t in turns]
             survivors = oracle.trim_mode(turns, keep)
         survivors = oracle.min_doc_length_filter(survivors, min_doc_length)
         for t in survivors:
