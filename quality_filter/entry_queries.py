@@ -885,3 +885,248 @@ def q_class_weights(spark, sf_dir):
             "weight"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 extension: A4 resegmentation, A9 lang map, G8 correlation,
+# oracle-bound UDF scorers, salvage end-to-end
+# ---------------------------------------------------------------------------
+
+
+@_register("resegment_docs", None)  # oracle attached below (module import)
+def q_resegment_docs(spark, sf_dir):
+    """A4: sentence-boundary resegmentation + greedy 200-char packing
+    (src/label_lines_with_LLM.py:144-168) — aggregate-HOF fold, narrow."""
+    from quality_filter.reseg import resegment
+
+    return resegment(_docs(spark, sf_dir))
+
+
+def _attach_reseg_oracle():
+    from quality_filter.reseg import resegment_sql
+
+    ORACLES["resegment_docs"] = resegment_sql()
+
+
+_attach_reseg_oracle()
+
+
+def _lang_code_names_sql() -> str:
+    from quality_filter.langmap import LANGUAGE_CODES, lang_name_case_sql
+
+    codes = LANGUAGE_CODES + ["xxx_Latn"]  # one unknown to exercise fallback
+    arr = "[" + ", ".join(f"'{c}'" for c in codes) + "]"
+    code = f"({arr}[CAST(doc_id % {len(codes)} AS INT) + 1])"
+    return (
+        f"SELECT doc_id, {code} AS code, "
+        f"{lang_name_case_sql(code)} AS language FROM documents"
+    )
+
+
+@_register("lang_code_names", _lang_code_names_sql())
+def q_lang_code_names(spark, sf_dir):
+    """A9: ISO 639-3+script code → language-name broadcast map literal
+    (src/label_lines_with_LLM.py:381-438) with 'Unknown' fallback."""
+    from quality_filter.langmap import LANGUAGE_CODES, lang_name_expr
+
+    codes = LANGUAGE_CODES + ["xxx_Latn"]
+    code = F.element_at(
+        F.array(*[F.lit(c) for c in codes]),
+        (F.col("doc_id") % len(codes)).cast("int") + 1,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        code.alias("code"),
+        lang_name_expr(code).alias("language"),
+    )
+
+
+_CORR_SQL = _with_turns(
+    "SELECT CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) "
+    "AS corr_score_clean FROM ("
+    " SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,"
+    "  CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,"
+    "  CAST(sum(x*y) AS BIGINT) AS sxy FROM ("
+    "  SELECT (doc_id*131 + turn_idx*17) % 1001 AS x,"
+    "   CASE WHEN label = 'Clean' THEN 1 ELSE 0 END AS y FROM scored))"
+)
+
+
+@_register("quality_corr", _CORR_SQL)
+def q_quality_corr(spark, sf_dir):
+    """G8: Pearson correlation between per-turn quality score and
+    cleanliness (quality_label_correlation notebook cell 2) — computed
+    from exact integer co-moment sums (one map-side-combinable aggregate),
+    so the double result is bit-identical across engines regardless of
+    partitioning or sum order."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    x = ((F.col("doc_id") * 131 + F.col("turn_idx") * 17) % 1001).cast("bigint")
+    y = F.when(F.col("label") == "Clean", F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select((num / den).alias("corr_score_clean"))
+
+
+# -- deterministic seed-language text: lets the REAL pandas-UDF scorers be
+#    oracle-checked (the oracle states the expected prediction; the Spark
+#    side must earn it through the actual model) --------------------------
+
+def _seed_langs() -> list[str]:
+    from quality_filter.langid import SEED_CORPORA
+
+    return sorted(SEED_CORPORA)
+
+
+def _seed_text_col():
+    """Two same-language seed sentences per doc, language picked by
+    doc_id % n_langs, sentences by deterministic integer mixing."""
+    from quality_filter.langid import SEED_CORPORA
+
+    langs = _seed_langs()
+    sents_arr = F.array(
+        *[F.array(*[F.lit(s) for s in SEED_CORPORA[l]]) for l in langs]
+    )
+    sents = F.element_at(sents_arr, (F.col("doc_id") % len(langs)).cast("int") + 1)
+    n = F.size(sents)
+    s1 = F.element_at(sents, (F.col("doc_id") % n).cast("int") + 1)
+    s2 = F.element_at(sents, ((F.col("doc_id") * 7 + 3) % n).cast("int") + 1)
+    return F.concat_ws(" ", s1, s2)
+
+
+def _langid_expected_sql() -> str:
+    langs = _seed_langs()
+    arr = "[" + ", ".join(f"'{l}'" for l in langs) + "]"
+    return (
+        f"SELECT doc_id, {arr}[CAST(doc_id % {len(langs)} AS INT) + 1] AS lang, "
+        "true AS high_conf FROM documents"
+    )
+
+
+@_register("langid_turns", _langid_expected_sql())
+def q_langid_turns(spark, sf_dir):
+    """M5: the real n-gram langid pandas UDF over deterministic
+    known-language text (two seed sentences per doc).  The oracle states
+    the expected language arithmetically; any misprediction or confidence
+    collapse by the actual model breaks the hash."""
+    from quality_filter.langid import with_langid
+
+    docs = _docs(spark, sf_dir).select("doc_id", _seed_text_col().alias("text"))
+    out = with_langid(docs)
+    return out.select(
+        "doc_id", "lang", (F.col("lang_prob") > 0.5).alias("high_conf")
+    )
+
+
+@_register(
+    "perplexity_turns",
+    "SELECT doc_id, true AS coherent_lower FROM documents",
+)
+def q_perplexity_turns(spark, sf_dir):
+    """M6: the real trigram-LM perplexity pandas UDF, oracle-checked as a
+    separation assertion: natural seed text must score strictly lower
+    logppl than trigram-alien junk for EVERY doc."""
+    from quality_filter.perplexity import with_perplexity
+
+    docs = _docs(spark, sf_dir).select("doc_id", _seed_text_col().alias("coherent"))
+    junk = F.lit("zq xv kj wf pg qz vx jk fw gp qqz vvx kkj wwf ppg")
+    d1 = with_perplexity(docs, "coherent").withColumnRenamed("logppl", "ppl_c")
+    d2 = with_perplexity(d1.withColumn("junk", junk), "junk").withColumnRenamed(
+        "logppl", "ppl_j"
+    )
+    return d2.select(
+        "doc_id", (F.col("ppl_c") < F.col("ppl_j")).alias("coherent_lower")
+    )
+
+
+def _salvage_e2e_sql() -> str:
+    """Oracle: same seed-sentence turns built arithmetically; every turn's
+    lang equals the conversation's (single-language convs), so the salvage
+    keep reduces to label='Clean' AND score>0.9 — both generated from the
+    frozen rule constants."""
+    from quality_filter.langid import SEED_CORPORA
+
+    langs = _seed_langs()
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    nested = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"'{esc(s)}'" for s in SEED_CORPORA[l]) + "]"
+            for l in langs
+        )
+        + "]"
+    )
+    larr = "[" + ", ".join(f"'{l}'" for l in langs) + "]"
+    lbl = sqlgen.label_sql("text")
+    score = sqlgen.clean_score_sql("text", lbl)
+    return (
+        f"WITH sl AS (SELECT doc_id, {nested}[CAST(doc_id % {len(langs)} AS INT) + 1] AS sents, "
+        f" {larr}[CAST(doc_id % {len(langs)} AS INT) + 1] AS exp_lang FROM documents), "
+        "t AS (SELECT doc_id, exp_lang, unnest(list_transform(range(0, 3), "
+        " i -> struct_pack(turn_idx := CAST(i AS INT), "
+        "  txt := sents[CAST((doc_id + i*5) % len(sents) AS INT) + 1]))) AS u FROM sl), "
+        "turns2 AS (SELECT doc_id, exp_lang, u.turn_idx AS turn_idx, u.txt AS text FROM t) "
+        f"SELECT doc_id, turn_idx, exp_lang AS lang FROM turns2 "
+        f"WHERE {lbl} = 'Clean' AND {score} > 0.9"
+    )
+
+
+@_register("salvage_langid_e2e", _salvage_e2e_sql())
+def q_salvage_langid_e2e(spark, sf_dir):
+    """Salvage end-to-end with the REAL langid UDF: seed-sentence turns →
+    rule scoring → with_langid → with_document_lang (skew-safe max_by) →
+    composite salvage keep.  Conversations are single-language by
+    construction, so the oracle can assert the full composite output."""
+    from quality_filter.langid import SEED_CORPORA, with_langid
+    from quality_filter.pipeline import with_document_lang
+
+    langs = _seed_langs()
+    sents_arr = F.array(
+        *[F.array(*[F.lit(s) for s in SEED_CORPORA[l]]) for l in langs]
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.element_at(sents_arr, (F.col("doc_id") % len(langs)).cast("int") + 1).alias(
+            "sents"
+        ),
+    )
+    turns = docs.select(
+        "doc_id",
+        "conv_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(2)),
+                lambda i: F.struct(
+                    i.cast("int").alias("turn_idx"),
+                    F.element_at(
+                        F.col("sents"),
+                        ((F.col("doc_id") + i * 5) % F.size(F.col("sents"))).cast(
+                            "int"
+                        )
+                        + 1,
+                    ).alias("text"),
+                ),
+            )
+        ).alias("u"),
+    ).select(
+        "doc_id", "conv_id", F.col("u.turn_idx").alias("turn_idx"), F.col("u.text").alias("text")
+    )
+    scored = score_turns(turns)
+    lid = with_langid(scored)
+    docl = with_document_lang(lid)
+    out = apply_filter_mode(docl, keep_by_salvage())
+    return out.select("doc_id", "turn_idx", "lang")

@@ -254,14 +254,27 @@ def reassemble_salted(
 
 
 def reassemble(
-    df: DataFrame, text_col: str = "text", extra_aggs: dict[str, Column] | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    extra_aggs: dict[str, Column] | None = None,
+    strategy: str = "sorted_agg",
 ) -> DataFrame:
     """Rebuild one row per conversation: ``text`` = '\\n'.join(turns) under
     stable (conv_id, turn_idx) order — A3
     (``src/filter_by_quality_label.py:35``) without a window: sort the
     collected (turn_idx, text) structs *inside* each group, so the only
     shuffle is the groupBy itself.
+
+    ``strategy='salted'`` routes to the two-phase skew-safe layout
+    (byte-identical output; use when single conversations can reach
+    millions of turns).
     """
+    if strategy == "salted":
+        if extra_aggs:
+            raise ValueError("extra_aggs is not supported with strategy='salted'")
+        return reassemble_salted(df, text_col)
+    if strategy != "sorted_agg":
+        raise ValueError(f"unknown strategy: {strategy}")
     sorted_structs = F.array_sort(
         F.collect_list(F.struct(F.col("turn_idx"), F.col(text_col).alias("t")))
     )

@@ -74,6 +74,28 @@ def test_salvage_matches_oracle(spark, langid_transcripts, mode, min_len):
         assert row["clean_score"] == expect[key].clean_score
 
 
+def test_document_lang_skew_safe_plan_and_result(spark):
+    """One 20k-turn conversation (heavy skew): the max_by document-lang
+    path must stay window-free (two map-side-combinable groupBys) and the
+    tiny per-conv aggregate must come back via a broadcast join."""
+    from quality_filter.pipeline import with_document_lang
+
+    rows = [("big", i, "en" if i % 3 else "de", 0.9 if i % 3 else 0.8)
+            for i in range(20_000)]
+    rows += [("small", 0, "fr", 1.0), ("small", 1, "fr", 0.9)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, lang string, lang_prob double"
+    )
+    out = with_document_lang(df)
+    langs = {(r["conv_id"], r["document_lang"]) for r in out.collect()}
+    # big: en mass = 13333*0.9 ≈ 12000 > de mass ≈ 5333*0.8
+    assert langs == {("big", "en"), ("small", "fr")}
+    # AQE finalizes the physical plan only after execution of THIS frame
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "document_lang must not use a window"
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_salvage_keeps_only_clean_high_conf_lang_matched(spark, langid_transcripts):
     out = salvage_pipeline(langid_transcripts, mode="filter", min_doc_length=1)
     bad = out.filter("label != 'Clean' OR clean_score <= 0.9").count()

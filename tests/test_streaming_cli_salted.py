@@ -28,6 +28,14 @@ def test_salted_reassembly_matches_plain(spark, transcripts):
         for r in reassemble_salted(out, segment_turns=37).collect()
     }
     assert plain == salted
+    # strategy dispatch on the public reassemble() entry point
+    dispatched = {
+        r["conv_id"]: (r["text"], r["n_turns"])
+        for r in reassemble(out, strategy="salted").collect()
+    }
+    assert dispatched == plain
+    with pytest.raises(ValueError):
+        reassemble(out, strategy="nope")
 
 
 def test_stream_score_incremental_exactly_once(spark, tmpdir):
