@@ -50,9 +50,10 @@ def main() -> None:
     )
     sections.append((
         "Headline clean pipeline (filter-all)",
-        "One narrow stage scan→prefilter→score→scrub, ONE Exchange for the "
-        "per-conversation gate window, ArrowEvalPython once (fused "
-        "langid+perplexity), everything else inside WholeStageCodegen.",
+        "ZERO exchanges: one narrow stage scan→prefilter→score→scrub "
+        "(the empty-conversation gate is provably elided in remove-all "
+        "mode), ArrowEvalPython once (fused langid+perplexity), everything "
+        "else inside WholeStageCodegen.",
         plan_of(headline),
     ))
 
@@ -64,6 +65,51 @@ def main() -> None:
         "Single hash aggregate on conv_id; ordering happens inside each "
         "group via array_sort — no global sort, no window.",
         plan_of(doc),
+    ))
+
+    from quality_filter.entry_queries import QUERIES
+
+    mh = QUERIES["minhash_candidates"](spark, "/root/testdata/sf0.01")
+    mh.count()  # finalize the AQE plan
+    sections.append((
+        "MinHash+LSH candidates (banded equi-join)",
+        "Exploded-band layout: the band-collision join is a HASH join on "
+        "(band, band_hash) — never a BroadcastNestedLoopJoin.  At scale "
+        "the broadcast side outgrows the threshold and AQE plans a "
+        "shuffled hash join on the same keys; shuffle volume scales with "
+        "band-bucket occupancy, not |corpus|².",
+        "\n".join(
+            l for l in plan_of(mh).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate", "Generate"))
+        ),
+    ))
+
+    ann = QUERIES["ann_cosine_top5"](spark, "/root/testdata/sf0.01")
+    ann.count()
+    sections.append((
+        "ANN cosine top-k (brute force, broadcast query side)",
+        "The tiny query set is broadcast; the corpus side never shuffles "
+        "for the join — one Exchange only for the per-query top-k window.",
+        "\n".join(
+            l for l in plan_of(ann).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Window", "Scan"))
+        ),
+    ))
+
+    lang = QUERIES["salvage_langid_e2e"](spark, "/root/testdata/sf0.01")
+    lang.count()
+    sections.append((
+        "Salvage end-to-end (document_lang, window strategy)",
+        "Per-conversation dominant language in ONE linear pass: the langid "
+        "pandas UDF appears exactly once (agg_join would evaluate it once "
+        "per join branch); mass summed over (conv_id, lang), argmax over "
+        "conv_id.  The agg_join strategy (max_by groupBys + broadcast "
+        "join) remains available for skewed conversations over cheap "
+        "scans — see pipeline.with_document_lang.",
+        "\n".join(
+            l for l in plan_of(lang).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Window", "Aggregate", "ArrowEval"))
+        ),
     ))
 
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]

@@ -1130,3 +1130,92 @@ def q_salvage_langid_e2e(spark, sf_dir):
     docl = with_document_lang(lid)
     out = apply_filter_mode(docl, keep_by_salvage())
     return out.select("doc_id", "turn_idx", "lang")
+
+
+# -- A7/A8: LLM-labeling plumbing -------------------------------------------
+
+_WRAP_VARIANTS_SQL = (
+    "(CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '```json' || chr(10) || '{\"label\": \"Clean\", \"score\": 3}' || chr(10) || '```' "
+    "WHEN 1 THEN ' {\"label\": \"Spam\", \"score\": 1} ' "
+    "WHEN 2 THEN '{''label'': ''Toxic'', ''score'': 2}' "
+    "ELSE '{\"label\": \"Clean\", \"score\": 4,}' || chr(10) || '```' END)"
+)
+
+
+@_register(
+    "llm_output_repair",
+    "SELECT doc_id, "
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'Clean' WHEN 1 THEN 'Spam' "
+    " WHEN 2 THEN 'Toxic' ELSE 'Clean' END AS label, "
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 3 WHEN 1 THEN 1 "
+    " WHEN 2 THEN 2 ELSE 4 END AS score "
+    "FROM documents",
+)
+def q_llm_output_repair(spark, sf_dir):
+    """A7: strip LLM output wrappers (code fences / 'json' tags) and
+    repair-parse to a typed struct (src/label_lines_with_LLM.py:96-98).
+    Four deterministic wrapper variants per doc_id; the oracle states the
+    expected parse arithmetically — the Spark side must earn it through
+    the actual strip+repair+from_json chain."""
+    from quality_filter.llmprep import parse_llm_output
+
+    fence = "```json\n{\"label\": \"Clean\", \"score\": 3}\n```"
+    spaced = " {\"label\": \"Spam\", \"score\": 1} "
+    single = "{'label': 'Toxic', 'score': 2}"
+    trailing = "{\"label\": \"Clean\", \"score\": 4,}\n```"
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(fence))
+        .when(F.col("doc_id") % 4 == 1, F.lit(spaced))
+        .when(F.col("doc_id") % 4 == 2, F.lit(single))
+        .otherwise(F.lit(trailing))
+    )
+    parsed = parse_llm_output(raw, "label string, score int")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        parsed["label"].alias("label"),
+        parsed["score"].alias("score"),
+    )
+
+
+def _classify_prompt_sql() -> str:
+    from quality_filter.llmprep import CLASSIFY_TEMPLATE
+
+    pre, rest = CLASSIFY_TEMPLATE.split("%s", 1)
+    mid, post = rest.split("%s", 1)
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    lines = (
+        "string_agg('Line ' || (turn_idx + 1) || ': ' || text || chr(10) "
+        "|| '------' || chr(10), '' ORDER BY turn_idx)"
+    )
+    return (
+        f"WITH {sqlgen.TURNS_CTE} "
+        f"SELECT conv_id, {lit(pre)} || doc_lang || {lit(mid)} || {lines} || {lit(post)} AS prompt "
+        f"FROM turns WHERE turn_idx < 3 GROUP BY conv_id, doc_lang"
+    )
+
+
+@_register("classify_prompt_format", _classify_prompt_sql())
+def q_classify_prompt_format(spark, sf_dir):
+    """A8: numbered-line prompt blocks + template substitution
+    (src/label_lines_with_LLM.py:111-117, src/prompts.py:129) over the
+    first 3 turns of each conversation — collect_list + array_sort inside
+    the group (no window), then one format_string."""
+    from quality_filter.llmprep import classify_prompt_expr
+
+    t = derive_turns(spark, sf_dir).filter(F.col("turn_idx") < 3)
+    grouped = t.groupBy("conv_id", "doc_lang").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("text").alias("t")))
+            ),
+            lambda s: s["t"],
+        ).alias("lines")
+    )
+    return grouped.select(
+        "conv_id",
+        classify_prompt_expr(F.col("lines"), F.col("doc_lang")).alias("prompt"),
+    )

@@ -126,16 +126,34 @@ def with_document_lang(df: DataFrame, strategy: str = "window") -> DataFrame:
     """Per-conversation dominant language: argmax over summed per-turn
     ``lang_prob`` — the turn-grain analog of
     ``lang[argmax(prob)]`` (``src/classifier_inference_pipeline.py:115``).
+    Deterministic tiebreak in both strategies: highest mass, then
+    lexicographically largest lang code.
 
-    Implemented with ``max_by`` over a pre-aggregated (conv_id, lang) table:
-    two map-side-combinable groupBys, no window, skew-safe.
+    - ``window`` (default): one linear pass — sum mass over
+      (conv_id, lang), then max(struct(mass, lang)) over conv_id.  The
+      upstream subtree (langid pandas UDF included) is evaluated exactly
+      ONCE; costs two window shuffles of the turn rows.
+    - ``agg_join``: ``max_by`` over a pre-aggregated (conv_id, lang)
+      table joined back (broadcast when small, AQE skew-join otherwise).
+      No window over skewed partitions, but the upstream subtree is
+      evaluated twice (once per join branch) — use it when lang comes
+      from a cheap scan, e.g. the two-phase layout where scores are
+      materialized to a table first.
     """
+    if strategy == "window":
+        w1 = Window.partitionBy("conv_id", "lang")
+        w2 = Window.partitionBy("conv_id")
+        massed = df.withColumn("_lang_mass", F.sum("lang_prob").over(w1))
+        return massed.withColumn(
+            "document_lang",
+            F.max(F.struct(F.col("_lang_mass"), F.col("lang"))).over(w2)["lang"],
+        ).drop("_lang_mass")
+    if strategy != "agg_join":
+        raise ValueError(f"unknown strategy: {strategy}")
     per_lang = (
         df.groupBy("conv_id", "lang")
         .agg(F.sum("lang_prob").alias("lang_mass"))
         .groupBy("conv_id")
-        # deterministic tiebreak: highest mass, then lexicographically
-        # largest lang code
         .agg(
             F.max_by("lang", F.struct(F.col("lang_mass"), F.col("lang"))).alias(
                 "document_lang"

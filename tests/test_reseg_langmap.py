@@ -83,3 +83,48 @@ def test_lang_name_lookup(spark):
         "n = 'Unknown'"
     ).count()
     assert n == 0
+
+
+def test_llm_output_strip_matches_python(spark):
+    """A7 wrapper strip must equal Python str.strip(" `\\njson")."""
+    from quality_filter.llmprep import strip_llm_wrapper
+
+    cases = [
+        "```json\n{\"a\": 1}\n```",
+        "  {\"a\": 1}  ",
+        "json{\"a\": 1}json",
+        "no wrapper at all",     # ends with chars in the set ('n', 'o'!)
+        "{\"label\": \"Clean\"}",
+        "",
+        "jsonjson",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, raw string")
+    got = {r["i"]: r["s"] for r in df.select(
+        "i", strip_llm_wrapper(F.col("raw")).alias("s")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == c.strip(" `\njson"), (c, got[i])
+
+
+def test_llm_parse_and_prompt(spark):
+    from quality_filter.llmprep import classify_prompt_expr, parse_llm_output
+
+    df = spark.createDataFrame(
+        [(0, "```json\n{'label': 'Clean', 'score': 2,}\n```"),
+         (1, "total garbage }{")],
+        "i long, raw string",
+    )
+    out = {r["i"]: r for r in df.select(
+        "i", parse_llm_output(F.col("raw"), "label string, score int").alias("p")
+    ).select("i", "p.label", "p.score").collect()}
+    assert (out[0]["label"], out[0]["score"]) == ("Clean", 2)
+    assert out[1]["label"] is None  # best-effort: unparseable -> NULL
+
+    p = spark.createDataFrame(
+        [(["first line", "second line"], "English")],
+        "lines array<string>, language string",
+    ).select(classify_prompt_expr(F.col("lines"), F.col("language")).alias("t")
+    ).first()["t"]
+    assert "Line 1: first line\n------\n" in p
+    assert "Line 2: second line\n------\n" in p
+    assert "document in English" in p

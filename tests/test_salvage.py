@@ -75,9 +75,10 @@ def test_salvage_matches_oracle(spark, langid_transcripts, mode, min_len):
 
 
 def test_document_lang_skew_safe_plan_and_result(spark):
-    """One 20k-turn conversation (heavy skew): the max_by document-lang
-    path must stay window-free (two map-side-combinable groupBys) and the
-    tiny per-conv aggregate must come back via a broadcast join."""
+    """One 20k-turn conversation (heavy skew): the agg_join document-lang
+    strategy must stay window-free (two map-side-combinable groupBys) and
+    the tiny per-conv aggregate must come back via a broadcast join; the
+    single-pass window strategy must produce identical assignments."""
     from quality_filter.pipeline import with_document_lang
 
     rows = [("big", i, "en" if i % 3 else "de", 0.9 if i % 3 else 0.8)
@@ -86,14 +87,21 @@ def test_document_lang_skew_safe_plan_and_result(spark):
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, lang string, lang_prob double"
     )
-    out = with_document_lang(df)
+    out = with_document_lang(df, strategy="agg_join")
     langs = {(r["conv_id"], r["document_lang"]) for r in out.collect()}
     # big: en mass = 13333*0.9 ≈ 12000 > de mass ≈ 5333*0.8
     assert langs == {("big", "en"), ("small", "fr")}
     # AQE finalizes the physical plan only after execution of THIS frame
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, "document_lang must not use a window"
+    assert "Window" not in plan, "agg_join must not use a window"
     assert "BroadcastHashJoin" in plan, plan
+    # window strategy: same assignments, single evaluation of the input
+    win = with_document_lang(df, strategy="window")
+    got = {(r["conv_id"], r["turn_idx"], r["document_lang"]) for r in win.collect()}
+    expect = {(r["conv_id"], r["turn_idx"],
+               "en" if r["conv_id"] == "big" else "fr")
+              for r in df.collect()}
+    assert got == expect
 
 
 def test_salvage_keeps_only_clean_high_conf_lang_matched(spark, langid_transcripts):
