@@ -107,6 +107,22 @@ def embeddings(spark):
     return df, [(r["vec_id"], r["embedding"]) for r in df.collect()]
 
 
+def test_simhash_grouped_equals_hof(spark, dup_docs):
+    """The explode+groupBy SimHash layout must produce bit-identical
+    hashes to the aggregate-HOF layout (incl. empty and NULL text)."""
+    from quality_filter.dedup import simhash64, simhash64_grouped
+
+    extra = spark.createDataFrame(
+        [(200, ""), (201, None), (202, "one")], "doc_id long, text string"
+    )
+    df = dup_docs.unionByName(extra)
+    hof = df.select("doc_id", simhash64(F.coalesce(F.col("text"), F.lit(""))).alias("sh"))
+    grp = simhash64_grouped(df)
+    joined = hof.alias("a").join(grp.alias("b"), "doc_id", "full")
+    assert joined.filter("a.sh IS DISTINCT FROM b.sh").count() == 0
+    assert grp.count() == df.count()
+
+
 def test_cosine_topk_matches_brute_force(spark, embeddings):
     df, emb = embeddings
     queries = df.filter("vec_id < 3")
