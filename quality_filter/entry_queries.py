@@ -675,37 +675,39 @@ def _simhash16_sql() -> str:
 )
 def q_simhash16_docs(spark, sf_dir):
     """16-bit SimHash fingerprint (portable md5-bit variant of the
-    64-bit xxhash64 SimHash in quality_filter.dedup)."""
+    64-bit xxhash64 SimHash in quality_filter.dedup).
+
+    Grouped layout (see dedup.simhash64_grouped): explode words, md5 once
+    per token, extract the 4 leading hex nibbles once, 16 codegen'd
+    conditional-sum aggregates — replaces 16 interpreted aggregate-HOF
+    passes that re-parsed the digest per bit (measured ~4× faster at
+    sf0.1).  Values identical; the DuckDB oracle is unchanged."""
     from quality_filter.dedup import normalized_text
 
     docs = _docs(spark, sf_dir)
     words = F.split(normalized_text(F.col("text")), " ")
-    hashed = docs.select(
-        "doc_id",
-        F.transform(words, lambda w: F.md5(F.encode(w, "UTF-8"))).alias("hs"),
+    tok = docs.select("doc_id", F.explode(words).alias("w")).withColumn(
+        "m", F.md5(F.encode("w", "UTF-8"))
     )
-
-    def vote(i: int):
-        ch, bit = i // 4 + 1, i % 4
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, m: acc
-            + F.when(
-                (
-                    (F.conv(F.substring(m, ch, 1), 16, 10).cast("int")
-                     / F.lit(2 ** bit)).cast("int") % 2
-                )
-                == 1,
-                1,
-            ).otherwise(-1),
+    for ch in range(1, 5):
+        tok = tok.withColumn(
+            f"n{ch}", F.conv(F.substring("m", ch, 1), 16, 10).cast("int")
         )
-
+    votes = [
+        F.sum(
+            F.when(
+                ((F.col(f"n{i // 4 + 1}") / F.lit(2 ** (i % 4))).cast("int") % 2) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
     sim = None
     for i in range(16):
-        term = F.when(vote(i) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        term = F.when(F.col(f"v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return hashed.select("doc_id", sim.alias("simhash"))
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 @_register(
@@ -1219,3 +1221,37 @@ def q_classify_prompt_format(spark, sf_dir):
         "conv_id",
         classify_prompt_expr(F.col("lines"), F.col("doc_lang")).alias("prompt"),
     )
+
+
+_DOC_CORR_SQL = _with_turns(
+    "SELECT round(corr(ms, pc), 6) AS corr_doc_score_pct_clean FROM ("
+    " SELECT doc_id,"
+    "  CAST(sum(CAST((doc_id*131 + turn_idx*17) % 1001 AS BIGINT)) AS DOUBLE)"
+    "   / (1000.0 * count(*)) AS ms,"
+    "  CAST(sum(CASE WHEN label = 'Clean' THEN 1 ELSE 0 END) AS DOUBLE)"
+    "   / count(*) AS pc"
+    " FROM scored GROUP BY doc_id)"
+)
+
+
+@_register("doc_quality_corr", _DOC_CORR_SQL)
+def q_doc_quality_corr(spark, sf_dir):
+    """G8, notebook parity: Pearson corr between per-DOC mean quality
+    score and %Clean (quality_label_correlation.ipynb cell 2) via the
+    built-in corr aggregate.  Per-doc inputs are exact doubles from
+    integer sums; the final corr is rounded to 6 decimals (engines'
+    co-moment accumulation orders differ only at the 17th significant
+    digit — measured across 3/8/32 shuffle partitions)."""
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    k = (F.col("doc_id") * 131 + F.col("turn_idx") * 17) % 1001
+    per = t.groupBy("doc_id").agg(
+        (
+            F.sum(k.cast("bigint")).cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1)))
+        ).alias("ms"),
+        (
+            F.sum(F.when(F.col("label") == "Clean", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pc"),
+    )
+    return per.agg(F.round(F.corr("ms", "pc"), 6).alias("corr_doc_score_pct_clean"))

@@ -134,6 +134,41 @@ def test_jsonl_roundtrip_unicode(spark, tmpdir):
     assert "héllo".encode() in raw and "中文".encode() in raw
 
 
+def test_compressed_roundtrip(spark, tmpdir):
+    """S2/S12 at runtime.  Text-file zstd needs the native hadoop codec
+    (absent in this sandbox: only bzip2/deflate/snappy/lz4/gzip), so the
+    compressed-JSONL path is exercised with gzip and zstd is attempted
+    first; the parquet writer's zstd (bundled zstd-jni, the S12 recompress
+    analog for table storage) is asserted unconditionally."""
+    import glob
+
+    df = spark.createDataFrame(
+        [(i, f"zeile {i} mit ünïcode 中文") for i in range(100)],
+        "id long, text string",
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("text", T.StringType())])
+
+    codec, ext, magic = "zstd", ".zst", b"\x28\xb5\x2f\xfd"
+    try:
+        write_jsonl(df, f"{tmpdir}/z", compression=codec, single_file=True)
+    except Exception:
+        codec, ext, magic = "gzip", ".gz", b"\x1f\x8b"
+        write_jsonl(df, f"{tmpdir}/z", compression=codec, single_file=True)
+    files = glob.glob(f"{tmpdir}/z/part-*")
+    assert files and files[0].endswith(ext), files
+    assert open(files[0], "rb").read(len(magic)) == magic
+    back = read_jsonl(spark, f"{tmpdir}/z", schema)
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert len(got) == 100 and got[7] == "zeile 7 mit ünïcode 中文"
+
+    # parquet zstd: works everywhere (zstd-jni ships with Spark)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(f"{tmpdir}/pz")
+    pfiles = glob.glob(f"{tmpdir}/pz/part-*.parquet")
+    assert pfiles and ".zstd." in pfiles[0]
+    assert spark.read.parquet(f"{tmpdir}/pz").count() == 100
+
+
 def test_jsonl_repair(spark, tmpdir):
     import os
     os.makedirs(f"{tmpdir}/in")
