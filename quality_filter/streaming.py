@@ -15,6 +15,10 @@ exactly Structured Streaming's file source + checkpoint.  Two shapes:
   verbatim.  Correct when a conversation's turns arrive within one
   micro-batch (e.g. file-per-conversation-shard layouts); exactly-once
   per input file via the checkpoint.
+- ``stream_trim_stateful`` — conversation-boundary-SAFE trim via
+  ``applyInPandasWithState``: per-conversation state buffers turns across
+  micro-batches AND query restarts, finalizing on an end-marker row or
+  idle timeout — removes ``stream_clean``'s one-batch caveat.
 
 ``trigger(availableNow=True)`` drains the backlog and stops — the
 streaming analog of the reference's resumable batch jobs.
@@ -93,5 +97,144 @@ def stream_clean(
         .start()
     )
     if await_termination:
+        q.awaitTermination()
+    return q
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: conversation-boundary-safe trim
+# ---------------------------------------------------------------------------
+
+TRIM_OUT_SCHEMA = (
+    "conv_id string, turn_idx int, text string, label string, clean_score double"
+)
+_TRIM_STATE_SCHEMA = (
+    "turn_idx array<int>, text array<string>, "
+    "label array<string>, clean_score array<double>"
+)
+END_MARKER_ROLE = "__end__"
+
+
+def stream_trim_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    idle_timeout_ms: int = 60_000,
+    fmt: str = "parquet",
+    await_termination: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Conversation-boundary-SAFE streaming trim: closes ``stream_clean``'s
+    caveat (turns of one conversation straddling micro-batches) with
+    ``applyInPandasWithState`` — per-conversation state buffers scored
+    turns across micro-batches and finalizes either on an explicit
+    end-of-conversation marker row (``role == '__end__'``, the
+    deterministic path) or after ``idle_timeout_ms`` of inactivity (the
+    late-straggler fallback).
+
+    Scoring stays vectorized/stateless BEFORE the stateful operator (the
+    Catalyst rule cascade runs per micro-batch); the stateful function
+    only buffers and applies the O(n) trim-bounds scan per finished
+    conversation, so no heavy work happens row-at-a-time in Python.
+    State size is bounded by conversation length — the same bound the
+    batch window gate has.
+
+    Ordering contract: the marker must arrive in the SAME or a LATER
+    micro-batch than every turn it closes (file sources process files by
+    modification time — emit the marker file last, or rely on the idle
+    timeout, which tolerates any order at the cost of latency).
+    """
+    import pandas as pd
+
+    from quality_filter.rules import score_turns
+
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(input_dir) if fmt == "json" else reader.parquet(input_dir)
+    scored = score_turns(src).select(
+        "conv_id", "turn_idx", "text", "role", "label", "clean_score"
+    )
+
+    def trim_conversation(key, pdfs, state):
+        conv_id = key[0]
+        if state.exists:
+            ti, tx, lb, sc = (list(x) for x in state.get)
+        else:
+            ti, tx, lb, sc = [], [], [], []
+        finished = state.hasTimedOut
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if row.role == END_MARKER_ROLE:
+                    finished = True
+                    continue
+                ti.append(row.turn_idx)
+                tx.append(row.text)
+                lb.append(row.label)
+                sc.append(row.clean_score)
+        if finished:
+            if state.exists:
+                state.remove()
+            order = sorted(range(len(ti)), key=lambda i: ti[i])
+            labels = [lb[i] for i in order]
+            start = 0
+            while start < len(labels) and labels[start] != "Clean":
+                start += 1
+            end = len(labels) - 1
+            while end >= 0 and labels[end] != "Clean":
+                end -= 1
+            keep = order[start : end + 1] if start <= end else []
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id] * len(keep),
+                    "turn_idx": [ti[i] for i in keep],
+                    "text": [tx[i] for i in keep],
+                    "label": [lb[i] for i in keep],
+                    "clean_score": [sc[i] for i in keep],
+                }
+            )
+        else:
+            state.update((ti, tx, lb, sc))
+            state.setTimeoutDuration(idle_timeout_ms)
+            yield pd.DataFrame(
+                columns=["conv_id", "turn_idx", "text", "label", "clean_score"]
+            )
+
+    out = scored.groupBy("conv_id").applyInPandasWithState(
+        trim_conversation,
+        outputStructType=TRIM_OUT_SCHEMA,
+        stateStructType=_TRIM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        # a stateful query with processing-time timeouts schedules extra
+        # timeout-check batches even under availableNow, so the query never
+        # self-terminates (and processAllAvailable never returns).  Drain
+        # by polling progress: stop after 3 consecutive zero-input batches
+        # (buffered-but-unfinished conversations stay in the checkpointed
+        # state store and resume on the next run).  Continuous deployments
+        # pass await_termination=False and leave the query running.
+        import time
+
+        idle, deadline = 0, time.time() + 600
+        last_batch = -1
+        while idle < 3 and time.time() < deadline and q.isActive:
+            time.sleep(0.5)
+            p = q.lastProgress
+            if p is None or p["batchId"] == last_batch:
+                continue
+            last_batch = p["batchId"]
+            idle = idle + 1 if p["numInputRows"] == 0 else 0
+        q.stop()
         q.awaitTermination()
     return q

@@ -87,3 +87,50 @@ def test_scrub_parity_on_fuzz(spark, examples):
         if r["scrubbed_text"] != oracle.scrub_of(t):
             bad.append((repr(t)[:80], repr(r["scrubbed_text"])[:80]))
     assert not bad, bad[:5]
+
+
+def test_reseg_parity_on_fuzz(spark):
+    """A4 packing fold vs the verbatim Python reference loop on generated
+    sentence-ish text.  Alphabet keeps whitespace within the engine's
+    frozen WS class ([ \\t\\r\\n\\x0B\\f]) — Python \\s and str.strip also
+    cover Unicode whitespace (NBSP, NEL, FS), a documented divergence."""
+    import re
+
+    from quality_filter.reseg import segments_expr
+    from pyspark.sql import functions as F
+
+    def ref_segments(text: str) -> list[str]:
+        sentences = re.split(r"(?<=[.!?])\s+", text)
+        segments, current = [], ""
+        for s in sentences:
+            if len(current) + len(s) + 1 > 200:
+                segments.append(current.strip())
+                current = s
+            else:
+                current += " " + s
+        if current:
+            segments.append(current.strip())
+        return segments
+
+    alphabet = list("abcdefg XYZ0189.!?,;-") + ["\t", "\n", ".", "!", "?", " "]
+    texts = st.text(alphabet=alphabet, max_size=600)
+    collected: list[str] = []
+
+    @settings(max_examples=60, deadline=None, database=None, derandomize=True)
+    @given(texts)
+    def gather(t):
+        collected.append(t)
+
+    gather()
+    collected += ["", ".", "?!.", "x" * 700, ("word. " * 80).strip()]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(collected)], "i long, text string"
+    )
+    got = {r["i"]: r["segs"] for r in df.select(
+        "i", segments_expr(F.col("text")).alias("segs")).collect()}
+    bad = [
+        (repr(collected[i])[:60], got[i], ref_segments(collected[i]))
+        for i in range(len(collected))
+        if got[i] != ref_segments(collected[i])
+    ]
+    assert not bad, bad[:3]

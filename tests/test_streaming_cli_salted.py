@@ -103,3 +103,101 @@ def test_cli_mutual_exclusion(tmpdir):
             "filter", "--data-path", "x", "--save-path", "y",
             "--quality-labels", "all", "--filter", "--trim",
         ])
+
+
+def test_stream_trim_stateful_across_microbatches(spark, tmpdir):
+    """A conversation whose turns STRADDLE two micro-batches must be
+    trimmed as one unit (the caveat stream_clean documents).  Two input
+    files + maxFilesPerTrigger=1 → two micro-batches inside one
+    availableNow drain; the end-marker row finalizes the conversation."""
+    import datetime
+
+    from quality_filter.pipeline import apply_trim_mode
+    from quality_filter.rules import score_turns
+    from quality_filter.streaming import END_MARKER_ROLE, stream_trim_stateful
+
+    inp, outp, ckpt = f"{tmpdir}/in", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    ts = datetime.datetime(2024, 1, 1)
+    junk = "$$$$$$$$"          # labels non-Clean (symbol run)
+    good = "This is a perfectly reasonable sentence for training."
+    # conv A: junk edges land in DIFFERENT files; interior junk survives
+    f1 = [("A", 0, "user", junk, None, ts),
+          ("A", 1, "user", good, None, ts),
+          ("A", 2, "user", junk, None, ts)]
+    f2 = [("A", 3, "user", good, None, ts),
+          ("A", 4, "user", junk, None, ts),
+          ("A", 5, "user", "", None, ts),     # trailing empty → trimmed
+          ("A", 99, END_MARKER_ROLE, "", None, ts),
+          ("B", 0, "user", good, None, ts),
+          ("B", 99, END_MARKER_ROLE, "", None, ts)]
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(f1, cols).coalesce(1).write.mode("overwrite").parquet(f"{inp}/b1")
+    spark.createDataFrame(f2, cols).coalesce(1).write.mode("append").parquet(f"{inp}/b2")
+    # file source needs one flat dir: rewrite as two files in one dir
+    import glob as g
+    import shutil as sh
+    import os
+    os.makedirs(f"{inp}/flat")
+    for i, d in enumerate(["b1", "b2"]):
+        src = g.glob(f"{inp}/{d}/part-*.parquet")[0]
+        dst = f"{inp}/flat/file_{i}.parquet"
+        sh.copy(src, dst)
+        # the file source orders micro-batches by modification time; the
+        # marker file must process AFTER the turns it closes
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream_trim_stateful(
+        spark, f"{inp}/flat", outp, ckpt, max_files_per_trigger=1
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["label"])
+        for r in spark.read.parquet(outp).collect()
+    )
+    # batch reference on the full conversations (markers excluded)
+    full = spark.createDataFrame(
+        [r for r in f1 + f2 if r[2] != END_MARKER_ROLE], cols
+    )
+    expect_df = apply_trim_mode(score_turns(full), F.col("label") == "Clean")
+    expect = sorted(
+        (r["conv_id"], r["turn_idx"], r["label"])
+        for r in expect_df.select("conv_id", "turn_idx", "label").collect()
+    )
+    assert got == expect, (got, expect)
+    # the straddling edge case actually exercised: turns 1..3 kept incl.
+    # the interior junk turn 2, edges 0/4/5 trimmed
+    assert [t for c, t, _ in got if c == "A"] == [1, 2, 3]
+
+
+def test_stream_trim_state_survives_restart(spark, tmpdir):
+    """A conversation buffered in run 1 (no marker yet) must be held in
+    the checkpointed state store and emitted by run 2 when its marker
+    arrives — state survives query RESTARTS, not just micro-batches."""
+    import datetime
+    import os
+
+    from quality_filter.streaming import END_MARKER_ROLE, stream_trim_stateful
+
+    inp, outp, ckpt = f"{tmpdir}/in", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    os.makedirs(inp)
+    ts = datetime.datetime(2024, 1, 1)
+    good = "This is a perfectly reasonable sentence for training."
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    spark.createDataFrame(
+        [("C", 0, "user", "$$$$$$$$", None, ts), ("C", 1, "user", good, None, ts)],
+        cols,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    stream_trim_stateful(spark, inp, outp, ckpt)
+    first = [f for f in os.listdir(outp) if f.endswith(".parquet")] if os.path.exists(outp) else []
+    got1 = spark.read.parquet(outp).count() if first else 0
+    assert got1 == 0, "conversation must stay buffered until its marker"
+
+    spark.createDataFrame(
+        [("C", 2, "user", good, None, ts),
+         ("C", 3, "user", "$$$$$$$$", None, ts),
+         ("C", 99, END_MARKER_ROLE, "", None, ts)],
+        cols,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    stream_trim_stateful(spark, inp, outp, ckpt)
+    got = sorted(r["turn_idx"] for r in spark.read.parquet(outp).collect())
+    assert got == [1, 2], got  # trimmed across BOTH runs' turns
