@@ -4,11 +4,15 @@
   query set, fold the dot product with array HOFs (JVM-side, no UDF),
   rank per query with a window.  The baseline at any scale where
   |queries| × |corpus| row pairs are tractable.
-- ``lsh_ann_topk``     — the scale path: sign-random-projection LSH
+- ``lsh_ann_topk``     — scale path #1: sign-random-projection LSH
   (deterministic seeded hyperplanes, broadcast as literals) buckets the
   corpus; candidates share a bucket with the query, then exact rerank.
   Probe radius 0 (same bucket) by default; increase ``n_tables`` for
   recall.
+- ``ivf_topk``         — scale path #2: KMeans inverted-file cells,
+  centroids folded into the plan as literals, nprobe-cell probing with
+  exact rerank.  Prefer IVF when the corpus is clusterable (real
+  embedding manifolds); SRP-LSH when it isn't.
 """
 
 from __future__ import annotations
@@ -162,6 +166,86 @@ def lsh_ann_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _sqdist(vec_col, center: list[float]):
+    lit_c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(
+            vec_col, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroids(vec_col, centers: list[list[float]], n: int):
+    """Array of the ``n`` nearest centroid ids (broadcast centroid
+    literals, argmin via array_sort of (dist, cid) structs — pure
+    Catalyst, no model object on the executors)."""
+    ds = F.array(
+        *[
+            F.struct(_sqdist(vec_col, c).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centers)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(ds), 1, n), lambda s: s["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
+    into ``nlist`` cells; each corpus vector lives in its nearest cell;
+    each query probes its ``nprobe`` nearest cells and exact-reranks only
+    those candidates.
+
+    Scale design: training sees a driver-side sample (``train_fraction``);
+    the fitted centroids (nlist × dim floats) are folded into the plan as
+    literals, so assignment is a narrow Catalyst projection — no model
+    broadcast, no UDF.  The candidate join is an equi-join on cell id;
+    shuffle volume scales with cell occupancy × nprobe, not
+    |corpus| × |queries|.  Recall/latency trade via nprobe (nprobe=nlist
+    degrades to exact brute force over a partitioned corpus).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if train_fraction < 1.0:
+        train = train.sample(train_fraction, seed=seed)
+    model = KMeans(k=nlist, seed=seed).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_nearest_centroids(F.col(vec_col), centers, 1), 1).alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_centroids(F.col(vec_col), centers, nprobe)).alias("cid"),
+    )
+    cand = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))

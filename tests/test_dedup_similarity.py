@@ -169,3 +169,24 @@ def test_embedding_near_dups(spark, embeddings):
         assert c >= 0.99
     # random vectors must not appear as near-dups at 0.99
     assert all(a >= 9001 or b >= 9001 or a == 0 for (a, b) in pairs), pairs
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF ANN: recall@5 vs brute force must be high at nprobe=4/16 and
+    exact at nprobe=nlist (probe-everything degrades to brute force)."""
+    from quality_filter.similarity import ivf_topk
+
+    df, emb = embeddings
+    truth = _brute_force_topk(emb, k=5, n_queries=3)
+    queries = df.filter("vec_id < 3")
+
+    got = {}
+    for r in ivf_topk(df, queries, k=5, nlist=16, nprobe=4).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    hits = sum(len(set(got.get(q, [])) & set(t)) for q, t in truth.items())
+    assert hits >= 0.6 * sum(len(t) for t in truth.values()), (got, truth)
+
+    exact = {}
+    for r in ivf_topk(df, queries, k=5, nlist=8, nprobe=8).collect():
+        exact.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert {q: set(v) for q, v in exact.items()} == {q: set(t) for q, t in truth.items()}
