@@ -1255,3 +1255,105 @@ def q_doc_quality_corr(spark, sf_dir):
         ).alias("pc"),
     )
     return per.agg(F.round(F.corr("ms", "pc"), 6).alias("corr_doc_score_pct_clean"))
+
+
+# -- text-analysis + embedding near-dup driver coverage ----------------------
+
+
+@_register(
+    "doc_fingerprint",
+    None,  # attached below from the shared generator
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling document fingerprint (md5-based portable
+    polynomial; see textstats.fingerprint_md5_expr — 'a b' != 'b a',
+    unlike a bag-of-words hash)."""
+    from quality_filter.textstats import fingerprint_md5_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_md5_expr(F.col("text")).alias("fp")
+    )
+
+
+def _attach_fp_oracle():
+    from quality_filter.textstats import fingerprint_md5_sql
+
+    ORACLES["doc_fingerprint"] = (
+        f"SELECT doc_id, {fingerprint_md5_sql('text')} AS fp FROM documents"
+    )
+
+
+_attach_fp_oracle()
+
+
+def _quality_score_sql() -> str:
+    from quality_filter.textstats import STOPWORDS
+
+    t = "coalesce(text, '')"
+    stop_arr = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    n_chars = f"length({t})"
+    words = f"string_split_regex(lower({t}), '\\s+')"
+    n_words = f"greatest(1, len({words}))"
+    n_stop = f"len(list_filter({words}, w -> list_contains({stop_arr}, w)))"
+    stop_ratio = f"(CAST({n_stop} AS DOUBLE) / {n_words})"
+    alpha = (
+        f"(CAST({n_chars} - length(regexp_replace({t}, '\\p{{L}}', '', 'g')) AS DOUBLE)"
+        f" / greatest(1, {n_chars}))"
+    )
+    rep = f"(CAST(len(list_distinct({words})) AS DOUBLE) / {n_words})"
+    len_sat = f"(CAST(least({n_chars}, 500) AS DOUBLE) / 500.0)"
+    raw = (
+        f"(0.3 * {len_sat} + 0.25 * {alpha} + 0.25 * {rep}"
+        f" + 0.2 * least({stop_ratio} * 4.0, 1.0))"
+    )
+    return f"SELECT doc_id, {sqlgen.bround3_sql(raw)} AS quality_score FROM documents"
+
+
+@_register("doc_quality_score", _quality_score_sql())
+def q_doc_quality_score(spark, sf_dir):
+    """M4 analog: heuristic [0,1] doc-quality score (length saturation,
+    stopword presence, alpha density, repetition penalty) — the in-engine
+    stand-in for the reference's upstream ``doc_scores`` signal."""
+    from quality_filter.textstats import quality_score_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        quality_score_expr(F.coalesce(F.col("text"), F.lit(""))).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _near_dup_sql() -> str:
+    dot = "list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    na = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    nb = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+    return (
+        "WITH world AS ("
+        " SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500"
+        " UNION ALL"
+        " SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20) "
+        f"SELECT a.vec_id AS a, b.vec_id AS b, round({dot} / ({na} * {nb}), 6) AS cos6 "
+        "FROM world a JOIN world b ON a.vec_id < b.vec_id "
+        f"WHERE {dot} / ({na} * {nb}) >= 0.99"
+    )
+
+
+@_register("embedding_near_dups", _near_dup_sql())
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via the REAL SRP-LSH
+    library operator (similarity.embedding_near_dups) over a corpus with
+    planted exact copies (vec_id+100000 for vec_id < 20).  The oracle is
+    the brute-force pair scan — exact copies collide in every LSH table,
+    so the sub-quadratic path must find precisely the brute-force set
+    (random 64-dim pairs never reach cosine 0.99)."""
+    from quality_filter.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    world = base.unionByName(copies)
+    pairs = embedding_near_dups(world, threshold=0.99)
+    return pairs.select("a", "b", F.round(F.col("cosine"), 6).alias("cos6"))

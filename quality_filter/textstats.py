@@ -112,3 +112,40 @@ def langid_sql_expr(text: Column) -> Column:
         )
     best = F.array_max(F.array(*counts))
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+FP_MOD = 1 << 52
+FP_SEED = 1125899906842597 % FP_MOD
+
+
+def fingerprint_md5_expr(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint in an oracle-portable
+    form: per-word base hash = first 12 hex chars of md5 (48 bits, exact
+    in both engines), folded as ``acc*31 + h (mod 2^52)`` — same
+    polynomial as ``fingerprint_expr`` but md5-based instead of xxhash64
+    (which DuckDB lacks).  All intermediates < 2^58, no overflow under
+    ANSI arithmetic."""
+    words = F.split(normalized_text(F.coalesce(text, F.lit(""))), " ")
+    m = F.lit(FP_MOD).cast("long")
+    h = lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 12), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        words,
+        F.lit(FP_SEED).cast("long"),
+        lambda acc, w: F.pmod(acc * F.lit(31).cast("long") + h(w), m),
+    )
+
+
+def fingerprint_md5_sql(t: str) -> str:
+    """DuckDB mirror of ``fingerprint_md5_expr``: hex parsed positionally
+    with BIGINT power-of-16 literals, fold via list_reduce with the seed
+    prepended (DuckDB reduce uses element 1 as the initial accumulator)."""
+    norm = f"trim(regexp_replace(lower({t}), '[ \\t\\r\\n]+', ' ', 'g'))"
+    hexpos = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1) * {16 ** (12 - i)}"
+        for i in range(1, 13)
+    )
+    hs = f"list_transform(string_split({norm}, ' '), w -> CAST({hexpos} AS BIGINT))"
+    return (
+        f"list_reduce(list_prepend(CAST({FP_SEED} AS BIGINT), {hs}), "
+        f"(acc, h) -> (acc * 31 + h) % {FP_MOD})"
+    )
