@@ -1357,3 +1357,36 @@ def q_embedding_near_dups(spark, sf_dir):
     world = base.unionByName(copies)
     pairs = embedding_near_dups(world, threshold=0.99)
     return pairs.select("a", "b", F.round(F.col("cosine"), 6).alias("cos6"))
+
+
+@_register(
+    "dedup_convs_exact",
+    _with_turns(
+        "SELECT min(conv_id) AS keeper, count(*) AS n_copies FROM ("
+        " SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text"
+        " FROM (SELECT conv_id, turn_idx, text FROM scored"
+        "       UNION ALL"
+        "       SELECT conv_id || '_copy', turn_idx, text FROM scored WHERE doc_id < 10)"
+        " GROUP BY conv_id)"
+        " GROUP BY md5(text) HAVING count(*) > 1"
+    ),
+)
+def q_dedup_convs_exact(spark, sf_dir):
+    """Conversation-grain exact dedup: reassemble each conversation under
+    stable turn order, fingerprint the full text, collapse identical
+    conversations to a deterministic keeper.  Exercises the
+    reassemble → dedup composition a transcript pipeline runs before
+    training-set export (10 planted copies make the dup groups
+    non-empty)."""
+    t = derive_turns(spark, sf_dir).select("conv_id", "doc_id", "turn_idx", "text")
+    copies = t.filter(F.col("doc_id") < 10).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_copy"))
+    )
+    world = t.unionByName(copies)
+    docs = reassemble(world)
+    return (
+        docs.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("_fp"))
+        .agg(F.min("conv_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keeper", "n_copies")
+    )
