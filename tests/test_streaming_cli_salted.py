@@ -201,3 +201,24 @@ def test_stream_trim_state_survives_restart(spark, tmpdir):
     stream_trim_stateful(spark, inp, outp, ckpt)
     got = sorted(r["turn_idx"] for r in spark.read.parquet(outp).collect())
     assert got == [1, 2], got  # trimmed across BOTH runs' turns
+
+
+def test_cli_salvage_min_doc_length_passthrough(spark, tmpdir):
+    """--min-doc-length 1 must disable the gate (not silently remap to
+    250), and the salvage default must be 250."""
+    from quality_filter.cli import main
+    from quality_filter.langid import with_langid
+
+    df = with_langid(synth_transcripts(spark, n_convs=40, seed=9))
+    df.write.mode("overwrite").parquet(f"{tmpdir}/in")
+
+    main(["salvage", "--data-path", f"{tmpdir}/in",
+          "--save-path", f"{tmpdir}/out1", "--filter", "--min-doc-length", "1"])
+    n_open = spark.read.parquet(f"{tmpdir}/out1").count()
+
+    main(["salvage", "--data-path", f"{tmpdir}/in",
+          "--save-path", f"{tmpdir}/out250", "--filter"])
+    n_default = spark.read.parquet(f"{tmpdir}/out250").count()
+
+    # the 250-char doc gate must drop strictly more than the open gate
+    assert n_open > n_default, (n_open, n_default)
