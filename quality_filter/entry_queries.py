@@ -422,6 +422,11 @@ def q_jaccard_near_dups(spark, sf_dir):
 
 
 def _minhash_sql() -> str:
+    # 8 independent seeded digests per shingle — NOT 8 chunks of one
+    # digest: the min statistic concentrates near 0 for long docs
+    # (min of n uniform 32-bit values ≈ 2^32/n), so narrow chunk-mins
+    # collide across documents and the candidate join explodes
+    # (measured 3.4× blowup at sf0.1)
     aggs = ", ".join(
         f"min(md5('s{s}|' || shingle)) AS h{s}" for s in range(8)
     )
@@ -450,9 +455,13 @@ def q_minhash_candidates(spark, sf_dir):
     would force a BroadcastNestedLoopJoin (O(n²) at scale).  Same layout
     as dedup.lsh_candidates."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle"))
+    sh = docs.select(
+        "doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle")
+    )
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"s{s}|"), F.col("shingle")), "UTF-8"))).alias(f"h{s}")
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"s{s}|"), F.col("shingle")), "UTF-8"))
+        ).alias(f"h{s}")
         for s in range(8)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -1355,7 +1364,10 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     world = base.unionByName(copies)
-    pairs = embedding_near_dups(world, threshold=0.99)
+    # 2 tables suffice here: EXACT copies collide in every table, so the
+    # output (post cosine-verify) is table-count-invariant; fewer tables
+    # halve the plan's hyperplane-literal folds
+    pairs = embedding_near_dups(world, threshold=0.99, n_tables=2)
     return pairs.select("a", "b", F.round(F.col("cosine"), 6).alias("cos6"))
 
 
