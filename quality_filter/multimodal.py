@@ -45,11 +45,58 @@ FEATURE_DIM = 32
 
 
 def real_decode(modality: str, payload: bytes):
-    """The codec seam.  Container has no media libs — replace this with
+    """The codec seam.  Formats the standard library can parse are decoded
+    for real — binary PPM (P6) images via numpy, PCM WAV audio via
+    ``wave`` — so the decode path is exercised end-to-end without media
+    libs.  Compressed formats (JPEG/PNG/MP3/MP4) raise: swap in
     PIL.Image.open / torchaudio.load / decord.VideoReader in production."""
+    data = bytes(payload or b"")
+    if modality == "image" and data[:2] == b"P6":
+        return _decode_ppm(data)
+    if modality == "audio" and data[:4] == b"RIFF":
+        return _decode_wav(data)
     raise NotImplementedError(
-        f"no {modality} codec in this environment; install one and swap real_decode"
+        f"no {modality} codec for this payload in this environment; "
+        "install one and extend real_decode"
     )
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 array (h, w, 3).  Header: 'P6', whitespace/
+    comment-separated width height maxval, single whitespace, raw RGB."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (int16 samples [n, channels], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        frames = wf.readframes(wf.getnframes())
+        samples = np.frombuffer(frames, dtype=np.int16).reshape(
+            -1, wf.getnchannels()
+        )
+        return samples, wf.getframerate()
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -62,10 +109,45 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return v / (np.linalg.norm(v) or 1.0)
 
 
+def _real_features(modality: str, decoded, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Content-derived feature vector from a decoded payload: image →
+    shape + per-channel stats + luminance histogram; audio → duration,
+    RMS, zero-crossings + amplitude histogram.  Deterministic."""
+    out = np.zeros(dim, dtype=np.float32)
+    if modality == "image":
+        img = decoded.astype(np.float64)
+        h, w = img.shape[0], img.shape[1]
+        lum = img.mean(axis=2)
+        hist, _ = np.histogram(lum, bins=dim - 8, range=(0.0, 255.0))
+        out[0], out[1] = h / 4096.0, w / 4096.0
+        out[2:5] = img.reshape(-1, 3).mean(axis=0) / 255.0
+        out[5:8] = img.reshape(-1, 3).std(axis=0) / 255.0
+        out[8:] = hist / max(1, lum.size)
+    else:  # audio
+        samples, rate = decoded
+        x = samples.astype(np.float64) / 32768.0
+        mono = x.mean(axis=1)
+        hist, _ = np.histogram(np.abs(mono), bins=dim - 3, range=(0.0, 1.0))
+        out[0] = len(mono) / float(rate)
+        out[1] = float(np.sqrt((mono**2).mean())) if len(mono) else 0.0
+        out[2] = float((np.diff(np.signbit(mono)) != 0).mean()) if len(mono) > 1 else 0.0
+        out[3:] = hist / max(1, len(mono))
+    return out
+
+
 def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """binary payload → ``feature`` (array<float>) via mapInPandas.
     Partition-preserving, Arrow-batched; one decode call per row inside
-    the batch loop (codecs are not vectorizable)."""
+    the batch loop (codecs are not vectorizable).  With
+    ``use_real_codec`` the stdlib-decodable formats (P6 PPM, PCM WAV)
+    yield content-derived features; undecodable payloads fall back to the
+    digest-seeded stand-in so the operator stays total."""
+    from quality_filter.shipping import ensure_shipped
+
+    # the mapInPandas closure pickles by reference to this module — ship
+    # the package so executor workers can import it regardless of the
+    # driver's cwd (same contract as the langid/perplexity UDFs)
+    ensure_shipped(df.sparkSession)
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != "payload"]
         + [T.StructField("feature", T.ArrayType(T.FloatType()), True)]
@@ -76,13 +158,14 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
         for pdf in batches:
             feats = []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
                 if use_real_codec:
-                    decoded = real_decode(modality, payload)  # pragma: no cover
-                    feats.append(_fake_features(bytes(decoded)))
-                else:
-                    feats.append(
-                        _fake_features(bytes(payload) if payload is not None else b"")
-                    )
+                    try:
+                        feats.append(_real_features(modality, real_decode(modality, raw)))
+                        continue
+                    except NotImplementedError:
+                        pass
+                feats.append(_fake_features(raw))
             res = pdf[cols].copy()
             res["feature"] = [f.tolist() for f in feats]
             yield res
@@ -120,18 +203,50 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def _synth_ppm(i: int, w: int = 16, h: int = 12) -> bytes:
+    """Tiny deterministic binary PPM (real, decodable)."""
+    rng = np.random.RandomState(1000 + i)
+    raster = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# synth\n%d %d\n255\n" % (w, h) + raster.tobytes()
+
+
+def _synth_wav(i: int, rate: int = 8000, n: int = 400) -> bytes:
+    """Tiny deterministic 16-bit PCM WAV (real, decodable)."""
+    import io
+    import wave
+
+    t = np.arange(n, dtype=np.float64)
+    tone = np.sin(2 * np.pi * (100 + 13 * i) * t / rate) * 0.4
+    samples = (tone * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload = seeded bytes."""
+    """Deterministic media table for tests: REAL decodable payloads for
+    image (binary PPM) and audio (PCM WAV); video stays opaque seeded
+    bytes (no stdlib video codec — exercises the fallback path)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 8
+        if modality == "image":
+            payload = _synth_ppm(i)
+        elif modality == "audio":
+            payload = _synth_wav(i)
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 8
         meta = {
-            "width": 640 if modality == "image" else None,
-            "height": 480 if modality == "image" else None,
-            "sample_rate": 16000 if modality == "audio" else None,
+            "width": 16 if modality == "image" else None,
+            "height": 12 if modality == "image" else None,
+            "sample_rate": 8000 if modality == "audio" else None,
             "n_frames": 300 if modality == "video" else None,
-            "mime": f"{modality}/fake",
+            "mime": {"image": "image/x-portable-pixmap",
+                     "audio": "audio/wav", "video": "video/fake"}[modality],
         }
         rows.append((i, modality, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

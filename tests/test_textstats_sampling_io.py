@@ -224,10 +224,20 @@ def test_multimodal_plumbing(spark):
     first = {r["media_id"]: r["feature"] for r in rows}
     assert again == first
 
+    # 16×12 PPMs are under max_side → scale clamps at 1.0 (no upscaling);
+    # a big fake-meta row exercises the downscale arithmetic
     rz = {r["media_id"]: r["resize_to"] for r in resize_meta(media).collect()
           if r["modality"] == "image"}
     for v in rz.values():
-        assert v["width"] == 224 and v["height"] == 168
+        assert v["width"] == 16 and v["height"] == 12
+    big = spark.createDataFrame(
+        [(99, "image", None,
+          {"width": 640, "height": 480, "sample_rate": None,
+           "n_frames": None, "mime": "image/x-portable-pixmap"})],
+        media.schema,
+    )
+    bigrz = resize_meta(big).collect()[0]["resize_to"]
+    assert bigrz["width"] == 224 and bigrz["height"] == 168
 
     fp = {r["media_id"]: r["frame_plan"] for r in sample_frames(media).collect()}
     video_ids = [r["media_id"] for r in media.filter("modality='video'").collect()]
@@ -235,11 +245,49 @@ def test_multimodal_plumbing(spark):
     assert all(fp[i] == [] for i in fp if i not in video_ids)
 
 
-def test_real_codec_is_marked_unimplemented(spark):
-    from quality_filter.multimodal import real_decode
+def test_real_codec_decodes_stdlib_formats(spark):
+    """P6 PPM and PCM WAV decode for REAL (numpy / stdlib wave); the
+    content-derived features flow through the Spark path and differ from
+    the digest-seeded fallback; compressed formats still raise."""
+    import numpy as np
+
+    from quality_filter.multimodal import (
+        _synth_ppm,
+        _synth_wav,
+        extract_features,
+        real_decode,
+        synth_media,
+    )
+
+    img = real_decode("image", _synth_ppm(3))
+    assert img.shape == (12, 16, 3) and img.dtype == np.uint8
+    samples, rate = real_decode("audio", _synth_wav(3))
+    assert rate == 8000 and samples.shape == (400, 1)
 
     with pytest.raises(NotImplementedError):
-        real_decode("image", b"\x00")
+        real_decode("image", b"\x89PNG....")  # compressed: codec seam
+    with pytest.raises(NotImplementedError):
+        real_decode("video", b"\x00\x01")
+
+    media = synth_media(spark, n=12)
+    real = {r["media_id"]: r["feature"]
+            for r in extract_features(media, use_real_codec=True).collect()}
+    fake = {r["media_id"]: r["feature"]
+            for r in extract_features(media, use_real_codec=False).collect()}
+    img_ids = [r["media_id"] for r in media.filter("modality='image'").collect()]
+    aud_ids = [r["media_id"] for r in media.filter("modality='audio'").collect()]
+    vid_ids = [r["media_id"] for r in media.filter("modality='video'").collect()]
+    for i in img_ids + aud_ids:
+        assert real[i] != fake[i]          # content features, not digest
+    for i in vid_ids:
+        assert real[i] == fake[i]          # undecodable → fallback
+    # image features carry the actual dimensions
+    for i in img_ids:
+        assert abs(real[i][0] - 12 / 4096.0) < 1e-6
+        assert abs(real[i][1] - 16 / 4096.0) < 1e-6
+    # audio features carry the actual duration
+    for i in aud_ids:
+        assert abs(real[i][0] - 400 / 8000.0) < 1e-6
 
 
 def test_bucketed_table_join_has_no_exchange(spark, tmpdir):
