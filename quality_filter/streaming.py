@@ -148,7 +148,9 @@ def stream_trim_stateful(
     import pandas as pd
 
     from quality_filter.rules import score_turns
+    from quality_filter.shipping import ensure_shipped
 
+    ensure_shipped(spark)
     reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
