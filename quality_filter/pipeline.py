@@ -159,11 +159,14 @@ def with_document_lang(df: DataFrame, strategy: str = "window") -> DataFrame:
                 "document_lang"
             )
         )
-    )
+    ).withColumnRenamed("conv_id", "_dl_conv_id")
     # per_lang has one row per conversation — tiny relative to turns;
     # Catalyst broadcasts it when under the threshold, AQE skew-joins
-    # otherwise.
-    return df.join(per_lang, "conv_id", "left")
+    # otherwise.  Null-safe equality keeps NULL-conv_id rows consistent
+    # with the window strategy (which treats NULL as one partition group).
+    return df.join(
+        per_lang, F.col("conv_id").eqNullSafe(F.col("_dl_conv_id")), "left"
+    ).drop("_dl_conv_id")
 
 
 # --------------------------------------------------------------------------

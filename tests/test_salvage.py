@@ -108,3 +108,25 @@ def test_salvage_keeps_only_clean_high_conf_lang_matched(spark, langid_transcrip
     out = salvage_pipeline(langid_transcripts, mode="filter", min_doc_length=1)
     bad = out.filter("label != 'Clean' OR clean_score <= 0.9").count()
     assert bad == 0
+
+
+def test_document_lang_null_conv_id_strategy_parity(spark):
+    """NULL conv_id rows form one group in BOTH strategies (the agg_join
+    join-back is null-safe, like _attach_per_conv's)."""
+    from quality_filter.pipeline import with_document_lang
+
+    rows = [(None, 0, "en", 0.9), (None, 1, "de", 0.5), ("x", 0, "fr", 1.0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, lang string, lang_prob double"
+    )
+    outs = {
+        strat: sorted(
+            ((r["conv_id"], r["turn_idx"], r["document_lang"])
+             for r in with_document_lang(df, strat).collect()),
+            key=str,
+        )
+        for strat in ("window", "agg_join")
+    }
+    assert outs["window"] == outs["agg_join"]
+    assert ("x", 0, "fr") in outs["window"]
+    assert (None, 0, "en") in outs["window"]  # en mass 0.9 > de 0.5
