@@ -96,17 +96,24 @@ def run_checkpointed(
         # chunk's partition dirs up front so empty results also erase
         # stale data.  (Iceberg mapping: ``overwrite(bucket IN chunk)``,
         # an explicit-predicate overwrite, has the same semantics.)
-        _clear_partitions(output_path, chunk)
+        _clear_partitions(spark, output_path, chunk)
         result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(output_path)
         _append_manifest(spark, manifest_path, run_id, chunk)
         processed.extend(chunk)
     return processed
 
 
-def _clear_partitions(output_path: str, buckets: list[int]) -> None:
-    import shutil
-
+def _clear_partitions(
+    spark: SparkSession, output_path: str, buckets: list[int]
+) -> None:
+    """Delete the partition dirs for ``buckets`` via the Hadoop FileSystem
+    API, so the stale-empty-partition guarantee holds on ANY supported
+    scheme (file://, hdfs://, s3a://) — not just local paths."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for b in buckets:
-        part_dir = os.path.join(output_path, f"{BUCKET_COL}={b}")
-        if os.path.exists(part_dir):
-            shutil.rmtree(part_dir)
+        part = f"{output_path.rstrip('/')}/{BUCKET_COL}={b}"
+        jpath = jvm.org.apache.hadoop.fs.Path(part)
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)

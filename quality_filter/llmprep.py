@@ -36,13 +36,17 @@ def strip_llm_wrapper(col: Column) -> Column:
 def repair_json(col: Column) -> Column:
     """A7 step 2 (lightweight json_repair analog): drop trailing commas
     before closing brackets and promote single-quoted keys/values to
-    double quotes when the payload uses no double quotes at all.  Returns
-    the repaired STRING; pair with ``from_json`` (PERMISSIVE: unparseable
-    rows yield NULL struct, the relational twin of json_repair's
-    best-effort contract)."""
+    double quotes when the payload uses no double quotes at all.  Quote
+    promotion only touches quotes ADJACENT to structural characters
+    (``{ [ , :`` before, ``} ] , :`` after), so embedded apostrophes like
+    ``{'note': 'it's fine'}`` survive as content — matching json_repair
+    more closely than a blanket replace.  Returns the repaired STRING;
+    pair with ``from_json`` (PERMISSIVE: unparseable rows yield NULL
+    struct, the relational twin of json_repair's best-effort contract)."""
     no_trailing = F.regexp_replace(col, r",\s*([}\]])", "$1")
-    singles = F.regexp_replace(no_trailing, r"'", '"')
-    return F.when(no_trailing.contains('"'), no_trailing).otherwise(singles)
+    opened = F.regexp_replace(no_trailing, r"([{\[,:]\s*)'", '$1"')
+    closed = F.regexp_replace(opened, r"'(\s*[}\],:])", '"$1')
+    return F.when(no_trailing.contains('"'), no_trailing).otherwise(closed)
 
 
 def parse_llm_output(col: Column, schema: StructType | str) -> Column:

@@ -53,6 +53,8 @@ def real_decode(modality: str, payload: bytes):
     data = bytes(payload or b"")
     if modality == "image" and data[:2] == b"P6":
         return _decode_ppm(data)
+    if modality == "image" and data[:8] == _PNG_SIG:
+        return _decode_png(data)
     if modality == "audio" and data[:4] == b"RIFF":
         return _decode_wav(data)
     raise NotImplementedError(
@@ -82,6 +84,74 @@ def _decode_ppm(data: bytes) -> np.ndarray:
         raise NotImplementedError("16-bit PPM not supported")
     raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raster.reshape(h, w, 3)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit RGB/RGBA PNG → uint8 array (h, w, c).  IDAT is
+    plain zlib (stdlib); scanline filters (none/sub/up/average/paeth) are
+    reversed per the PNG spec.  Other bit depths / color types / interlacing
+    raise NotImplementedError (the remaining codec seam)."""
+    import struct
+    import zlib
+
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only non-interlaced 8-bit RGB/RGBA PNG supported here"
+        )
+    bpp = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # sub / average / paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, bpp)
 
 
 def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
@@ -116,12 +186,13 @@ def _real_features(modality: str, decoded, dim: int = FEATURE_DIM) -> np.ndarray
     out = np.zeros(dim, dtype=np.float32)
     if modality == "image":
         img = decoded.astype(np.float64)
-        h, w = img.shape[0], img.shape[1]
-        lum = img.mean(axis=2)
+        h, w, c = img.shape[0], img.shape[1], img.shape[2]
+        rgb = img[..., :3]  # drop alpha for stats (RGBA PNGs decode to c=4)
+        lum = rgb.mean(axis=2)
         hist, _ = np.histogram(lum, bins=dim - 8, range=(0.0, 255.0))
         out[0], out[1] = h / 4096.0, w / 4096.0
-        out[2:5] = img.reshape(-1, 3).mean(axis=0) / 255.0
-        out[5:8] = img.reshape(-1, 3).std(axis=0) / 255.0
+        out[2:5] = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+        out[5:8] = rgb.reshape(-1, 3).std(axis=0) / 255.0
         out[8:] = hist / max(1, lum.size)
     else:  # audio
         samples, rate = decoded
@@ -160,10 +231,15 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 if use_real_codec:
+                    # catch-all: a payload that *looks* decodable (P6/RIFF
+                    # magic) but is truncated or corrupt raises ValueError /
+                    # EOFError / wave.Error from the decoders — fall back to
+                    # the digest featurizer so one bad media file can never
+                    # kill the job (the operator is total by contract)
                     try:
                         feats.append(_real_features(modality, real_decode(modality, raw)))
                         continue
-                    except NotImplementedError:
+                    except Exception:
                         pass
                 feats.append(_fake_features(raw))
             res = pdf[cols].copy()
@@ -210,6 +286,45 @@ def _synth_ppm(i: int, w: int = 16, h: int = 12) -> bytes:
     return b"P6\n# synth\n%d %d\n255\n" % (w, h) + raster.tobytes()
 
 
+def _synth_png(i: int, w: int = 16, h: int = 12, rgba: bool = False) -> bytes:
+    """Tiny deterministic PNG (real, zlib-compressed, decodable).  Mixes
+    filter types 0/1/2 across scanlines so the decoder's filter reversal
+    is actually exercised."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(2000 + i)
+    bpp = 4 if rgba else 3
+    raster = rng.randint(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        row = raster[y].reshape(-1).astype(np.int32)
+        ftype = y % 3  # none, sub, up
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            shifted = np.concatenate([np.zeros(bpp, dtype=np.int32), row[:-bpp]])
+            enc = (row - shifted) & 0xFF
+        else:
+            enc = (row - prev) & 0xFF
+        lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if rgba else 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def _synth_wav(i: int, rate: int = 8000, n: int = 400) -> bytes:
     """Tiny deterministic 16-bit PCM WAV (real, decodable)."""
     import io
@@ -229,13 +344,21 @@ def _synth_wav(i: int, rate: int = 8000, n: int = 400) -> bytes:
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table for tests: REAL decodable payloads for
-    image (binary PPM) and audio (PCM WAV); video stays opaque seeded
-    bytes (no stdlib video codec — exercises the fallback path)."""
+    image (binary PPM / zlib PNG, cycling RGB and RGBA) and audio (PCM
+    WAV); video stays opaque seeded bytes (no stdlib video codec —
+    exercises the fallback path)."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
+        mime = {"image": "image/x-portable-pixmap",
+                "audio": "audio/wav", "video": "video/fake"}[modality]
         if modality == "image":
-            payload = _synth_ppm(i)
+            variant = (i // 3) % 3  # cycle ppm, png-rgb, png-rgba
+            if variant == 0:
+                payload = _synth_ppm(i)
+            else:
+                payload = _synth_png(i, rgba=(variant == 2))
+                mime = "image/png"
         elif modality == "audio":
             payload = _synth_wav(i)
         else:
@@ -245,8 +368,7 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             "height": 12 if modality == "image" else None,
             "sample_rate": 8000 if modality == "audio" else None,
             "n_frames": 300 if modality == "video" else None,
-            "mime": {"image": "image/x-portable-pixmap",
-                     "audio": "audio/wav", "video": "video/fake"}[modality],
+            "mime": mime,
         }
         rows.append((i, modality, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -110,7 +110,7 @@ TRIM_OUT_SCHEMA = (
 )
 _TRIM_STATE_SCHEMA = (
     "turn_idx array<int>, text array<string>, "
-    "label array<string>, clean_score array<double>"
+    "label array<string>, clean_score array<double>, closed boolean"
 )
 END_MARKER_ROLE = "__end__"
 
@@ -124,6 +124,8 @@ def stream_trim_stateful(
     fmt: str = "parquet",
     await_termination: bool = True,
     max_files_per_trigger: int | None = None,
+    drain_idle_batches: int = 3,
+    drain_timeout_s: float = 600.0,
 ):
     """Conversation-boundary-SAFE streaming trim: closes ``stream_clean``'s
     caveat (turns of one conversation straddling micro-batches) with
@@ -159,13 +161,35 @@ def stream_trim_stateful(
         "conv_id", "turn_idx", "text", "role", "label", "clean_score"
     )
 
+    out_cols = ["conv_id", "turn_idx", "text", "label", "clean_score"]
+
     def trim_conversation(key, pdfs, state):
         conv_id = key[0]
         if state.exists:
-            ti, tx, lb, sc = (list(x) for x in state.get)
+            ti, tx, lb, sc, closed = state.get
+            ti, tx, lb, sc = list(ti), list(tx), list(lb), list(sc)
+            closed = bool(closed)
         else:
-            ti, tx, lb, sc = [], [], [], []
-        finished = state.hasTimedOut
+            ti, tx, lb, sc, closed = [], [], [], [], False
+        if state.hasTimedOut:
+            # idle timeout: finalize an open conversation (late-straggler
+            # fallback) or expire a closed tombstone
+            state.remove()
+            if closed:
+                yield pd.DataFrame(columns=out_cols)
+                return
+            finished = True
+        else:
+            finished = False
+        if closed:
+            # turns arriving AFTER this conversation finalized: the state
+            # tombstone absorbs them (dropped, never re-opened) so a late
+            # straggler cannot be emitted as a second, independently-trimmed
+            # fragment of the same conv_id.  Refresh the tombstone's clock.
+            state.update(([], [], [], [], True))
+            state.setTimeoutDuration(idle_timeout_ms)
+            yield pd.DataFrame(columns=out_cols)
+            return
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
                 if row.role == END_MARKER_ROLE:
@@ -176,8 +200,6 @@ def stream_trim_stateful(
                 lb.append(row.label)
                 sc.append(row.clean_score)
         if finished:
-            if state.exists:
-                state.remove()
             order = sorted(range(len(ti)), key=lambda i: ti[i])
             labels = [lb[i] for i in order]
             start = 0
@@ -187,6 +209,10 @@ def stream_trim_stateful(
             while end >= 0 and labels[end] != "Clean":
                 end -= 1
             keep = order[start : end + 1] if start <= end else []
+            # leave a 'closed' tombstone (retained one idle window) so
+            # post-marker stragglers are detected and dropped, not emitted
+            state.update(([], [], [], [], True))
+            state.setTimeoutDuration(idle_timeout_ms)
             yield pd.DataFrame(
                 {
                     "conv_id": [conv_id] * len(keep),
@@ -197,11 +223,9 @@ def stream_trim_stateful(
                 }
             )
         else:
-            state.update((ti, tx, lb, sc))
+            state.update((ti, tx, lb, sc, False))
             state.setTimeoutDuration(idle_timeout_ms)
-            yield pd.DataFrame(
-                columns=["conv_id", "turn_idx", "text", "label", "clean_score"]
-            )
+            yield pd.DataFrame(columns=out_cols)
 
     out = scored.groupBy("conv_id").applyInPandasWithState(
         trim_conversation,
@@ -222,21 +246,67 @@ def stream_trim_stateful(
         # a stateful query with processing-time timeouts schedules extra
         # timeout-check batches even under availableNow, so the query never
         # self-terminates (and processAllAvailable never returns).  Drain
-        # by polling progress: stop after 3 consecutive zero-input batches
-        # (buffered-but-unfinished conversations stay in the checkpointed
-        # state store and resume on the next run).  Continuous deployments
-        # pass await_termination=False and leave the query running.
-        import time
-
-        idle, deadline = 0, time.time() + 600
-        last_batch = -1
-        while idle < 3 and time.time() < deadline and q.isActive:
-            time.sleep(0.5)
-            p = q.lastProgress
-            if p is None or p["batchId"] == last_batch:
-                continue
-            last_batch = p["batchId"]
-            idle = idle + 1 if p["numInputRows"] == 0 else 0
-        q.stop()
-        q.awaitTermination()
+        # it event-driven: a StreamingQueryListener counts consecutive
+        # drained batches (zero input rows AND zero state-store row
+        # updates) and signals stop — no sleep-polling.  Buffered-but-
+        # unfinished conversations stay in the checkpointed state store and
+        # resume on the next run.  Continuous deployments pass
+        # await_termination=False and leave the query running.
+        _drain_and_stop(spark, q, idle_batches=drain_idle_batches,
+                        timeout_s=drain_timeout_s)
     return q
+
+
+def _drain_and_stop(spark, query, idle_batches: int = 3,
+                    timeout_s: float = 600.0) -> None:
+    """Stop ``query`` once ``idle_batches`` consecutive micro-batches made
+    no progress (no input rows, no state rows updated or removed), as
+    observed through a ``StreamingQueryListener`` — deterministic on the
+    query's own progress events rather than wall-clock polls.
+    ``timeout_s`` is a hard safety deadline."""
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    qid = str(query.id)
+
+    class _DrainListener(StreamingQueryListener):
+        def __init__(self):
+            self.idle = 0
+            self.drained = threading.Event()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if str(p.id) != qid:
+                return
+            state_rows = sum(
+                op.numRowsUpdated + op.numRowsRemoved
+                for op in (p.stateOperators or [])
+            )
+            if p.numInputRows == 0 and state_rows == 0:
+                self.idle += 1
+            else:
+                self.idle = 0
+            if self.idle >= idle_batches:
+                self.drained.set()
+
+        def onQueryIdle(self, event):
+            # the engine reports the query idle: nothing left to drain
+            if str(event.id) == qid:
+                self.drained.set()
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == qid:
+                self.drained.set()
+
+    listener = _DrainListener()
+    spark.streams.addListener(listener)
+    try:
+        listener.drained.wait(timeout=timeout_s)
+    finally:
+        spark.streams.removeListener(listener)
+        query.stop()
+        query.awaitTermination()

@@ -120,6 +120,15 @@ def test_llm_parse_and_prompt(spark):
     assert (out[0]["label"], out[0]["score"]) == ("Clean", 2)
     assert out[1]["label"] is None  # best-effort: unparseable -> NULL
 
+    # embedded apostrophes survive quote promotion (ADVICE r2): only
+    # quotes adjacent to structural chars are promoted
+    apos = df.sparkSession.createDataFrame(
+        [(0, "{'note': 'it's fine', 'score': 3}")], "i long, raw string"
+    ).select(
+        parse_llm_output(F.col("raw"), "note string, score int").alias("p")
+    ).select("p.note", "p.score").first()
+    assert apos["note"] == "it's fine" and apos["score"] == 3
+
     p = spark.createDataFrame(
         [(["first line", "second line"], "English")],
         "lines array<string>, language string",

@@ -203,6 +203,42 @@ def test_stream_trim_state_survives_restart(spark, tmpdir):
     assert got == [1, 2], got  # trimmed across BOTH runs' turns
 
 
+def test_stream_trim_straggler_after_marker_dropped(spark, tmpdir):
+    """A turn arriving AFTER its conversation's end-marker finalized must
+    be absorbed by the state tombstone and dropped — NOT re-open state and
+    later emit a second, independently-trimmed fragment of the same
+    conv_id (ADVICE r2)."""
+    import datetime
+    import os
+
+    from quality_filter.streaming import END_MARKER_ROLE, stream_trim_stateful
+
+    inp, outp, ckpt = f"{tmpdir}/in", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    os.makedirs(inp)
+    ts = datetime.datetime(2024, 1, 1)
+    good = "This is a perfectly reasonable sentence for training."
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    spark.createDataFrame(
+        [("D", 0, "user", good, None, ts),
+         ("D", 99, END_MARKER_ROLE, "", None, ts)],
+        cols,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    stream_trim_stateful(spark, inp, outp, ckpt)
+    assert sorted(r["turn_idx"] for r in spark.read.parquet(outp).collect()) == [0]
+
+    # run 2: a straggler turn (and even a second marker) for the already-
+    # finalized conversation — must be dropped, output unchanged
+    spark.createDataFrame(
+        [("D", 1, "user", good, None, ts),
+         ("D", 98, END_MARKER_ROLE, "", None, ts)],
+        cols,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    stream_trim_stateful(spark, inp, outp, ckpt)
+    got = sorted(r["turn_idx"] for r in spark.read.parquet(outp).collect())
+    assert got == [0], f"straggler must not create a duplicate fragment: {got}"
+
+
 def test_cli_salvage_min_doc_length_passthrough(spark, tmpdir):
     """--min-doc-length 1 must disable the gate (not silently remap to
     250), and the salvage default must be 250."""

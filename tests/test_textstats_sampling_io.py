@@ -246,12 +246,14 @@ def test_multimodal_plumbing(spark):
 
 
 def test_real_codec_decodes_stdlib_formats(spark):
-    """P6 PPM and PCM WAV decode for REAL (numpy / stdlib wave); the
-    content-derived features flow through the Spark path and differ from
-    the digest-seeded fallback; compressed formats still raise."""
+    """P6 PPM, zlib PNG (RGB + RGBA) and PCM WAV decode for REAL (numpy /
+    stdlib zlib / wave); the content-derived features flow through the
+    Spark path and differ from the digest-seeded fallback; formats stdlib
+    genuinely can't parse (JPEG/MP4) still raise."""
     import numpy as np
 
     from quality_filter.multimodal import (
+        _synth_png,
         _synth_ppm,
         _synth_wav,
         extract_features,
@@ -261,11 +263,20 @@ def test_real_codec_decodes_stdlib_formats(spark):
 
     img = real_decode("image", _synth_ppm(3))
     assert img.shape == (12, 16, 3) and img.dtype == np.uint8
+    png = real_decode("image", _synth_png(4))
+    assert png.shape == (12, 16, 3) and png.dtype == np.uint8
+    # byte-exact filter reversal: decode recovers the encoder's raster
+    expect = np.random.RandomState(2004).randint(
+        0, 256, size=(12, 16, 3), dtype=np.uint8
+    )
+    assert (png == expect).all()
+    rgba = real_decode("image", _synth_png(5, rgba=True))
+    assert rgba.shape == (12, 16, 4)
     samples, rate = real_decode("audio", _synth_wav(3))
     assert rate == 8000 and samples.shape == (400, 1)
 
     with pytest.raises(NotImplementedError):
-        real_decode("image", b"\x89PNG....")  # compressed: codec seam
+        real_decode("image", b"\xff\xd8\xff\xe0JFIF...")  # JPEG: codec seam
     with pytest.raises(NotImplementedError):
         real_decode("video", b"\x00\x01")
 
@@ -288,6 +299,34 @@ def test_real_codec_decodes_stdlib_formats(spark):
     # audio features carry the actual duration
     for i in aud_ids:
         assert abs(real[i][0] - 400 / 8000.0) < 1e-6
+
+
+def test_extract_features_total_on_corrupt_media(spark):
+    """A payload that LOOKS decodable (P6/RIFF/PNG magic) but is truncated
+    or corrupt must fall back to the digest featurizer — one bad media
+    file must never kill the job (ADVICE r2)."""
+    from quality_filter.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_features,
+        _synth_png,
+        extract_features,
+    )
+
+    truncated_png = _synth_png(7)[:40]  # cut inside IHDR/IDAT
+    rows = [
+        (0, "image", bytearray(b"P6\n"), None),             # truncated PPM header
+        (1, "image", bytearray(b"P6\n2 2\n255\nab"), None),  # short raster
+        (2, "audio", bytearray(b"RIFFxxxxWAVE"), None),     # bogus WAV
+        (3, "image", bytearray(truncated_png), None),       # truncated PNG
+        (4, "image", None, None),                           # NULL payload
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["feature"]
+           for r in extract_features(df, use_real_codec=True).collect()}
+    assert len(got) == 5
+    for mid, _, payload, _ in rows:
+        expect = _fake_features(bytes(payload) if payload is not None else b"")
+        assert got[mid] == [float(x) for x in expect]
 
 
 def test_bucketed_table_join_has_no_exchange(spark, tmpdir):
