@@ -76,16 +76,30 @@ def run_headline(spark, transcripts_path: str) -> tuple[float, int]:
     return dt, n_turns
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query regression instrument: one warm-up run (JIT, Arrow worker
+    spin-up, shuffle-file cache), then median of QUERY_REPS measured runs —
+    capped to a single measured run for queries whose warm-up exceeds
+    SLOW_CAP_S so total harness time stays sane.  Returns (median, spread)
+    where spread = max-min of the measured runs (0 when only one)."""
     from quality_filter.entry_queries import QUERIES
 
-    times: dict[str, float] = {}
+    reps_target = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+    slow_cap_s = float(os.environ.get("BENCH_SLOW_CAP_S", "5.0"))
+    med: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        def once() -> float:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        warm = once()
+        reps = 1 if warm > slow_cap_s else reps_target
+        samples = sorted(once() for _ in range(reps))
+        med[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
+    return med, spread
 
 
 def main() -> None:
@@ -99,14 +113,16 @@ def main() -> None:
     results = [run_headline(spark, tpath) for _ in range(reps)]
     headline_s, n_turns = min(results)
     qtimes: dict[str, float] = {}
+    qspread: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
-        qtimes = run_queries(spark, SF_DIR)
+        qtimes, qspread = run_queries(spark, SF_DIR)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "full clean-pipeline wall time (langid+ppl UDFs, rule scoring, filter-all, scrub, parquet sink)",
         "value": round(headline_s, 3),
         "unit": "sec",
         "queries": qtimes,
+        "query_spread": qspread,
         "sf": sf,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline_s, 1),

@@ -421,26 +421,35 @@ def q_jaccard_near_dups(spark, sf_dir):
     ).select("a", "b", "n_common", "n_a", "n_b")
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
 def _minhash_sql() -> str:
-    # 8 independent seeded digests per shingle — NOT 8 chunks of one
-    # digest: the min statistic concentrates near 0 for long docs
-    # (min of n uniform 32-bit values ≈ 2^32/n), so narrow chunk-mins
-    # collide across documents and the candidate join explodes
-    # (measured 3.4× blowup at sf0.1)
+    # ONE md5 per shingle, split into two 60-bit halves (a, b), then the
+    # 8 permutations are h_s = (a + s*b) mod 2^61-1 — the Kirsch-
+    # Mitzenmacher universal-hashing construction.  Independent-enough
+    # permutations (each s reorders shingles differently) WITHOUT the
+    # chunk-min bias an earlier variant had (narrow chunk-mins concentrate
+    # near 0 for long docs and blew the candidate join up 3.4×), and
+    # without r2's 8-independent-digests constant (8× md5 string hashing
+    # per shingle).  a + 7b < 8*2^60 = 2^63-8: no signed-64 overflow.
     aggs = ", ".join(
-        f"min(md5('s{s}|' || shingle)) AS h{s}" for s in range(8)
+        f"min((a + {s}*b) % {_MERSENNE61}) AS h{s}" for s in range(8)
     )
     return (
         "WITH sh AS (SELECT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
         " i -> array_to_string(string_split(text,' ')[(i+1):(i+3)], ' '))) AS shingle"
         " FROM documents),"
-        f"sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),"
+        "ab AS (SELECT doc_id,"
+        " CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS a,"
+        " CAST(('0x' || substr(md5(shingle), 17, 15)) AS BIGINT) AS b FROM sh),"
+        f"sig AS (SELECT doc_id, {aggs} FROM ab GROUP BY doc_id),"
         # exploded-band layout: one row per (doc, band) with the band hash as
         # an equi-join key — mirrors the Spark side so both plan as hash joins
         "bands AS ("
-        " SELECT doc_id, 0 AS band, md5(h0 || h1 || h2 || h3) AS bh FROM sig"
+        " SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || h1 || '|' || h2 || '|' || h3 AS bh FROM sig"
         " UNION ALL"
-        " SELECT doc_id, 1 AS band, md5(h4 || h5 || h6 || h7) AS bh FROM sig) "
+        " SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || '|' || h5 || '|' || h6 || '|' || h7 AS bh FROM sig) "
         "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a JOIN bands b"
         " ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
     )
@@ -448,34 +457,44 @@ def _minhash_sql() -> str:
 
 @_register("minhash_candidates", _minhash_sql())
 def q_minhash_candidates(spark, sf_dir):
-    """MinHash+LSH candidate pairs: 8 md5-string min-hash permutations,
-    2 bands × 4 rows, band-collision detection as an EQUI-join on
-    (band_idx, band_hash) — the exploded-band layout (one row per doc per
-    band) keeps the join hash-partitionable; an OR of band equalities
-    would force a BroadcastNestedLoopJoin (O(n²) at scale).  Same layout
-    as dedup.lsh_candidates."""
+    """MinHash+LSH candidate pairs: ONE md5 per shingle split into two
+    60-bit halves (a, b), 8 universal-hash permutations
+    h_s = (a + s*b) mod 2^61-1, 2 bands × 4 rows, band-collision detection
+    as an EQUI-join on (band_idx, band_hash) — the exploded-band layout
+    (one row per doc per band) keeps the join hash-partitionable; an OR of
+    band equalities would force a BroadcastNestedLoopJoin (O(n²) at
+    scale).  Same layout as dedup.lsh_candidates; the library path uses
+    seeded xxhash64 (dedup.py) — this query's md5 construction exists for
+    bit-exact DuckDB portability."""
     docs = _docs(spark, sf_dir)
     sh = docs.select(
         "doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle")
     )
+    # materialize (a, b) in a projection so the digest is computed ONCE
+    # per shingle, not once per aggregate expression
+    ab = sh.select(
+        "doc_id", F.md5(F.encode(F.col("shingle"), "UTF-8")).alias("d")
+    ).select(
+        "doc_id",
+        F.conv(F.substring("d", 1, 15), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring("d", 17, 15), 16, 10).cast("long").alias("b"),
+    )
     aggs = [
-        F.min(
-            F.md5(F.encode(F.concat(F.lit(f"s{s}|"), F.col("shingle")), "UTF-8"))
-        ).alias(f"h{s}")
+        F.min((F.col("a") + F.lit(s) * F.col("b")) % F.lit(_MERSENNE61)).alias(f"h{s}")
         for s in range(8)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = ab.groupBy("doc_id").agg(*aggs)
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 F.struct(
                     F.lit(0).alias("band"),
-                    F.md5(F.encode(F.concat("h0", "h1", "h2", "h3"), "UTF-8")).alias("bh"),
+                    F.concat_ws("|", "h0", "h1", "h2", "h3").alias("bh"),
                 ),
                 F.struct(
                     F.lit(1).alias("band"),
-                    F.md5(F.encode(F.concat("h4", "h5", "h6", "h7"), "UTF-8")).alias("bh"),
+                    F.concat_ws("|", "h4", "h5", "h6", "h7").alias("bh"),
                 ),
             )
         ).alias("bd"),
@@ -755,6 +774,41 @@ def q_ann_cosine_top5(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+@_register(
+    "ann_ivf_top5",
+    # nprobe=nlist probes every cell → IVF degenerates to exact, so the
+    # brute-force oracle is valid; nprobe<nlist recall is pytest-bounded
+    # (tests/test_dedup_similarity.py)
+    "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3), "
+    "p AS (SELECT q.query_id, v.vec_id AS neighbor_id, "
+    " round(list_sum(list_transform(range(1, 65), i -> qe[i] * e[i])) / "
+    " (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i]))) * "
+    "  sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i])))), 6) AS cos "
+    " FROM v, q WHERE v.vec_id != q.query_id), "
+    "r AS (SELECT query_id, neighbor_id, "
+    " row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+    " FROM p) "
+    "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5",
+)
+def q_ann_ivf_top5(spark, sf_dir):
+    """IVF ANN top-5 through the REAL scale path (similarity.ivf_topk:
+    KMeans cells, centroid literals folded into the plan, cell-id
+    equi-join) run at nprobe=nlist so every cell is probed and the result
+    is provably exact — the same brute-force oracle as ann_cosine_top5
+    then checks the whole machinery end-to-end.  The sub-exhaustive
+    nprobe<nlist setting has a pytest recall bound instead (recall is
+    data-dependent, not oracle-expressible)."""
+    from quality_filter.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk(
+        emb, queries, k=5, nlist=8, nprobe=8, seed=42, cos_round=6
+    )
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def _langid_sql_oracle() -> str:
@@ -1384,20 +1438,25 @@ def q_embedding_near_dups(spark, sf_dir):
     ),
 )
 def q_dedup_convs_exact(spark, sf_dir):
-    """Conversation-grain exact dedup: reassemble each conversation under
-    stable turn order, fingerprint the full text, collapse identical
-    conversations to a deterministic keeper.  Exercises the
-    reassemble → dedup composition a transcript pipeline runs before
-    training-set export (10 planted copies make the dup groups
-    non-empty)."""
+    """Conversation-grain exact dedup through the SKEW-SAFE path:
+    ``dedup.conv_fingerprint_salted`` hashes bounded segments then the
+    ordered segment hashes, so the full conversation string never
+    materializes (a 10^7-turn conversation costs bounded task memory);
+    identical conversations collapse to a deterministic keeper.  The
+    oracle fingerprints the fully-joined text — equality CLASSES match
+    (same turn_idx → text mapping ⇔ same fingerprint), which is all the
+    (keeper, n_copies) output depends on.  10 planted copies make the dup
+    groups non-empty."""
+    from quality_filter.dedup import conv_fingerprint_salted
+
     t = derive_turns(spark, sf_dir).select("conv_id", "doc_id", "turn_idx", "text")
     copies = t.filter(F.col("doc_id") < 10).withColumn(
         "conv_id", F.concat(F.col("conv_id"), F.lit("_copy"))
     )
     world = t.unionByName(copies)
-    docs = reassemble(world)
+    fps = conv_fingerprint_salted(world)
     return (
-        docs.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("_fp"))
+        fps.groupBy("_fp")
         .agg(F.min("conv_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
         .select("keeper", "n_copies")

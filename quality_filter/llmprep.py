@@ -92,3 +92,65 @@ def classify_prompt_expr(lines: Column, language: Column) -> Column:
     return F.format_string(
         CLASSIFY_TEMPLATE, language, formatted_lines_expr(lines)
     )
+
+
+# -- verbatim templates (data) ----------------------------------------------
+# The reference's full prompt texts, shipped AS DATA under data/prompts/
+# (one .txt per template, placeholders __LANGUAGE__/__LINES__/__VOCAB__/
+# __GROUP_NAME__/__SYNONYMS__) so a production labeling replay is
+# byte-compatible with src/prompts.py:1-217.  tests/test_reseg_langmap.py
+# asserts byte parity against the reference functions.
+
+def load_verbatim_template(name: str) -> str:
+    """Read a verbatim template ('classify', 'generate_labels',
+    'synonyms') from the packaged data files."""
+    from pathlib import Path
+
+    return (
+        Path(__file__).resolve().parent / "data" / "prompts" / f"{name}.txt"
+    ).read_text()
+
+
+def template_expr(template: str, subs: dict[str, Column]) -> Column:
+    """Build a Catalyst expression that renders ``template`` with each
+    placeholder token replaced by its Column: the template is split on the
+    tokens driver-side and reassembled as one ``concat`` of literals and
+    columns — no regex or UDF at runtime, and JSON braces in the template
+    need no escaping."""
+    import re
+
+    pattern = "(" + "|".join(map(re.escape, subs)) + ")"
+    parts = [p for p in re.split(pattern, template) if p != ""]
+    return F.concat(*[subs[p] if p in subs else F.lit(p) for p in parts])
+
+
+def classify_prompt_verbatim_expr(lines: Column, language: Column) -> Column:
+    """Byte-compatible replay of ``src/prompts.py:129`` classify(): the
+    verbatim template with the formatted line blocks and language
+    substituted."""
+    return template_expr(
+        load_verbatim_template("classify"),
+        {"__LANGUAGE__": language, "__LINES__": formatted_lines_expr(lines)},
+    )
+
+
+def generate_labels_prompt_verbatim_expr(
+    lines: Column, vocab: Column, language: Column
+) -> Column:
+    """Byte-compatible replay of ``src/prompts.py:1`` generate_labels()."""
+    return template_expr(
+        load_verbatim_template("generate_labels"),
+        {
+            "__LANGUAGE__": language,
+            "__LINES__": formatted_lines_expr(lines),
+            "__VOCAB__": vocab,
+        },
+    )
+
+
+def synonyms_prompt_verbatim_expr(group_name: Column, synonyms: Column) -> Column:
+    """Byte-compatible replay of ``src/prompts.py:92`` synonyms()."""
+    return template_expr(
+        load_verbatim_template("synonyms"),
+        {"__GROUP_NAME__": group_name, "__SYNONYMS__": synonyms},
+    )

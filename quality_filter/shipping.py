@@ -34,5 +34,12 @@ def ensure_shipped(spark: SparkSession) -> None:
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
             for py in sorted(pkg_dir.glob("*.py")):
                 zf.write(py, arcname=f"quality_filter/{py.name}")
+            # packaged data (verbatim prompt templates) rides along so
+            # executor-side code can load it too
+            for dat in sorted(pkg_dir.glob("data/**/*.txt")):
+                zf.write(
+                    dat,
+                    arcname=f"quality_filter/{dat.relative_to(pkg_dir)}",
+                )
     sc.addPyFile(zip_path)
     setattr(sc, _SHIPPED_KEY, True)

@@ -174,6 +174,7 @@ def lsh_ann_topk(
 
 
 def _sqdist(vec_col, center: list[float]):
+    """Squared L2 distance to a broadcast centroid literal."""
     lit_c = F.array(*[F.lit(float(x)) for x in center])
     return F.aggregate(
         F.zip_with(
@@ -207,6 +208,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     train_fraction: float = 1.0,
+    cos_round: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``nlist`` cells; each corpus vector lives in its nearest cell;
@@ -248,6 +250,10 @@ def ivf_topk(
         .select("query_id", "qv", "neighbor_id", "cv")
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    if cos_round is not None:
+        # rank on rounded cosine (+ id tiebreak) for cross-engine float
+        # stability when an exact oracle checks the ranking
+        cos = F.round(cos, cos_round)
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -137,3 +137,59 @@ def test_llm_parse_and_prompt(spark):
     assert "Line 1: first line\n------\n" in p
     assert "Line 2: second line\n------\n" in p
     assert "document in English" in p
+
+
+def test_verbatim_prompt_templates_byte_parity(spark):
+    """The shipped template data files must render BYTE-IDENTICALLY to the
+    reference's prompt functions (src/prompts.py:1-217), both through the
+    Python loader and through the Catalyst template_expr path — a
+    production labeling replay is byte-compatible."""
+    import importlib.util
+    import os
+
+    import pytest as _pytest
+
+    ref_path = "/root/reference/src/prompts.py"
+    if not os.path.exists(ref_path):
+        _pytest.skip("reference repo not present")
+    spec = importlib.util.spec_from_file_location("ref_prompts", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from quality_filter.llmprep import (
+        classify_prompt_verbatim_expr,
+        generate_labels_prompt_verbatim_expr,
+        load_verbatim_template,
+        synonyms_prompt_verbatim_expr,
+    )
+
+    lines = ["first line", "second ------ tricky", ""]
+    fmt = "".join(f"Line {i+1}: {l}\n------\n" for i, l in enumerate(lines))
+
+    # python-side parity (pure string substitution)
+    assert load_verbatim_template("classify").replace(
+        "__LANGUAGE__", "English").replace("__LINES__", fmt
+    ) == ref.classify(fmt, "English")
+    assert load_verbatim_template("generate_labels").replace(
+        "__LANGUAGE__", "Finnish").replace("__LINES__", fmt).replace(
+        "__VOCAB__", "- Spam\n- Toxic"
+    ) == ref.generate_labels(fmt, "- Spam\n- Toxic", "Finnish")
+    assert load_verbatim_template("synonyms").replace(
+        "__GROUP_NAME__", "Spam").replace("__SYNONYMS__", "junk\nads"
+    ) == ref.synonyms("Spam", "junk\nads")
+
+    # catalyst-side parity (the expression a labeling job would run)
+    df = spark.createDataFrame(
+        [(lines, "English", "- Spam\n- Toxic", "Spam", "junk\nads")],
+        "lines array<string>, language string, vocab string, "
+        "group_name string, syns string",
+    )
+    row = df.select(
+        classify_prompt_verbatim_expr(F.col("lines"), F.col("language")).alias("c"),
+        generate_labels_prompt_verbatim_expr(
+            F.col("lines"), F.col("vocab"), F.col("language")).alias("g"),
+        synonyms_prompt_verbatim_expr(F.col("group_name"), F.col("syns")).alias("s"),
+    ).first()
+    assert row["c"] == ref.classify(fmt, "English")
+    assert row["g"] == ref.generate_labels(fmt, "- Spam\n- Toxic", "English")
+    assert row["s"] == ref.synonyms("Spam", "junk\nads")
