@@ -1114,6 +1114,52 @@ def q_perplexity_turns(spark, sf_dir):
     )
 
 
+def _ppl_expected_sql() -> str:
+    """Value-exact perplexity oracle: the seed text is a pure function of
+    doc_id mod M (M = lcm(n_langs, per-language sentence counts)), so the
+    expected logppl of EVERY residue class can be computed once driver-
+    side with the same frozen artifact the UDF broadcasts, and stated as
+    literals — the driver row is then hash-exact on actual logppl values,
+    not just on a separation boolean."""
+    import math
+
+    import pandas as pd
+
+    from quality_filter import perplexity
+    from quality_filter.langid import SEED_CORPORA
+
+    langs = _seed_langs()
+    m = len(langs)
+    for n in {len(SEED_CORPORA[lang]) for lang in langs}:
+        m = m * n // math.gcd(m, n)
+    lp3, lp2 = perplexity.build_artifact()
+    texts = []
+    for r in range(m):
+        sents = SEED_CORPORA[langs[r % len(langs)]]
+        n = len(sents)
+        texts.append(sents[r % n] + " " + sents[(r * 7 + 3) % n])
+    vals = perplexity.score_batch(pd.Series(texts), lp3, lp2)
+    cases = " ".join(
+        f"WHEN {r} THEN {float(v)!r}" for r, v in enumerate(vals)
+    )
+    return (
+        f"SELECT doc_id, CAST(CASE CAST(doc_id % {m} AS INT) {cases} END "
+        "AS DOUBLE) AS logppl FROM documents"
+    )
+
+
+@_register("perplexity_values", _ppl_expected_sql())
+def q_perplexity_values(spark, sf_dir):
+    """M6 value parity: the REAL trigram-LM pandas UDF over deterministic
+    seed text; the oracle states every expected logppl arithmetically
+    (computed from the same frozen artifact), so any drift in hashing,
+    smoothing, rounding, or the Arrow path breaks the hash."""
+    from quality_filter.perplexity import with_perplexity
+
+    docs = _docs(spark, sf_dir).select("doc_id", _seed_text_col().alias("text"))
+    return with_perplexity(docs).select("doc_id", "logppl")
+
+
 def _salvage_e2e_sql() -> str:
     """Oracle: same seed-sentence turns built arithmetically; every turn's
     lang equals the conversation's (single-language convs), so the salvage
