@@ -24,7 +24,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_pinned(cores: int, n_convs: int, reps: int = 3) -> dict:
+def run_pinned(
+    cores: int, n_convs: int, reps: int = 3, stage: str = "full",
+    extra_env: dict[str, str] | None = None,
+) -> dict:
     cmd = []
     if shutil.which("taskset"):
         cmd += ["taskset", "-c", f"0-{cores - 1}"]
@@ -35,6 +38,8 @@ def run_pinned(cores: int, n_convs: int, reps: int = 3) -> dict:
         BENCH_SKIP_QUERIES="1",
         BENCH_N_CONVS=str(n_convs),
         BENCH_REPS=str(reps),
+        BENCH_STAGE=stage,
+        **(extra_env or {}),
     )
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, timeout=1800
@@ -47,7 +52,11 @@ def main() -> None:
     """Measure BOTH N→4N pairs: the BASELINE.md-specified 8→32 and the
     below-saturation-knee 4→16 (this VM's frequency/bandwidth scaling at
     full 32-way concurrency caps even perfectly-parallel jobs; reporting
-    both shows the engine's scaling and the host's, separately)."""
+    both shows the engine's scaling and the host's, separately).  Then
+    DECOMPOSE the 8→32 pair per stage — pure-Catalyst (rules+scrub, no
+    Python) vs the fused Arrow UDF alone — and probe Arrow batch sizing,
+    so the report shows which fraction of the shortfall is host
+    memory-bandwidth saturation vs Python-worker overhead."""
     pairs = [(4, 16), (8, 32)]
     if len(sys.argv) > 1:
         n = int(sys.argv[1])
@@ -66,15 +75,63 @@ def main() -> None:
     }
     n_turns = results[cores_needed[0]]["n_turns"]
 
+    # ---- per-stage decomposition of the specified 8→32 pair -------------
+    decomp_pair = pairs[-1]
+    stage_results: dict[str, dict[int, dict]] = {}
+    for stage in ("catalyst", "udf"):
+        for c in decomp_pair:
+            r = run_pinned(
+                c, n_convs, reps=2 if c <= 8 else 4, stage=stage
+            )
+            stage_results.setdefault(stage, {})[c] = r
+            print(
+                f"stage={stage} cores={c}: {r['turns_per_sec']:,.0f} turns/s",
+                flush=True,
+            )
+    lo, hi = decomp_pair
+    stage_effs = {
+        stage: (d[hi]["turns_per_sec"] / d[lo]["turns_per_sec"]) / 4.0
+        for stage, d in stage_results.items()
+    }
+
+    # ---- Arrow batch-size probe on the UDF stage at max parallelism -----
+    probe: dict[str, dict] = {}
+    for batch in ("40000", "100000"):
+        probe[batch] = run_pinned(
+            hi, n_convs, reps=3, stage="udf",
+            extra_env={
+                "BENCH_EXTRA_CONF": json.dumps(
+                    {"spark.sql.execution.arrow.maxRecordsPerBatch": batch}
+                )
+            },
+        )
+        print(
+            f"udf probe batch={batch}: {probe[batch]['turns_per_sec']:,.0f} turns/s",
+            flush=True,
+        )
+
     rows = "\n".join(
         f"| local[{c}] (pinned 0-{c - 1}) | {c} | {results[c]['value']} | "
         f"{results[c]['turns_per_sec']:,} |"
         for c in cores_needed
     )
     eff_rows = "\n".join(
-        f"| {lo} → {hi} | ({results[hi]['turns_per_sec']:,} / "
-        f"{results[lo]['turns_per_sec']:,}) / 4 | **{e:.3f}** |"
-        for (lo, hi), e in effs.items()
+        f"| {plo} → {phi} | ({results[phi]['turns_per_sec']:,} / "
+        f"{results[plo]['turns_per_sec']:,}) / 4 | **{e:.3f}** |"
+        for (plo, phi), e in effs.items()
+    )
+    stage_rows = "\n".join(
+        f"| {stage} | {stage_results[stage][lo]['turns_per_sec']:,} | "
+        f"{stage_results[stage][hi]['turns_per_sec']:,} | "
+        f"**{stage_effs[stage]:.3f}** |"
+        for stage in ("catalyst", "udf")
+    )
+    full_eff = effs[(lo, hi)]
+    udf_base = stage_results["udf"][hi]["turns_per_sec"]
+    probe_rows = "\n".join(
+        f"| {b} | {probe[b]['turns_per_sec']:,} | "
+        f"{probe[b]['turns_per_sec'] / udf_base:.2f}× |"
+        for b in probe
     )
     md = f"""# BENCH/BASELINE.md — throughput & scaling evidence
 
@@ -111,6 +168,28 @@ executor *machines* (a real 4N-executor cluster brings 4N× of every
 resource — memory bandwidth included — not just threads); the 8→32
 pair is reported as specified, with the host ceiling called out.
 
+## Per-stage decomposition of the {lo} → {hi} pair
+
+Which fraction of the 8→32 shortfall is host saturation vs
+Python-worker overhead: the same input run through (a) the pure-Catalyst
+part only (rule scoring + filter + scrub + window gates — zero Python in
+the plan) and (b) the fused langid+perplexity Arrow UDF alone.
+
+| stage | turns/s @ {lo} | turns/s @ {hi} | {lo}→{hi} efficiency |
+|---|---|---|---|
+{stage_rows}
+
+Full-job efficiency for the same pair: **{full_eff:.3f}**.
+
+## Arrow batch-size probe (UDF stage, local[{hi}])
+
+`spark.sql.execution.arrow.maxRecordsPerBatch` (session default 10000,
+the value the UDF-stage row above uses):
+
+| maxRecordsPerBatch | turns/s | vs default |
+|---|---|---|
+{probe_rows}
+
 ## Keep/drop quality gate
 
 `python -m pytest -x -q` — keep/drop decisions match the golden oracle
@@ -121,7 +200,13 @@ tests/test_salvage.py, tests/test_entry_contract.py.
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({
         "configs": {str(c): results[c]["turns_per_sec"] for c in cores_needed},
-        "efficiency": {f"{lo}->{hi}": round(e, 3) for (lo, hi), e in effs.items()},
+        "efficiency": {
+            f"{plo}->{phi}": round(e, 3) for (plo, phi), e in effs.items()
+        },
+        "stage_efficiency": {s: round(e, 3) for s, e in stage_effs.items()},
+        "udf_batch_probe": {
+            b: probe[b]["turns_per_sec"] for b in probe
+        },
     }))
 
 

@@ -48,8 +48,16 @@ def ensure_transcripts(spark, n_convs: int) -> str:
     return path
 
 
-def run_headline(spark, transcripts_path: str) -> tuple[float, int]:
-    """Full hot path → parquet sink; returns (seconds, n_turns_in)."""
+def run_headline(
+    spark, transcripts_path: str, stage: str = "full"
+) -> tuple[float, int]:
+    """Hot path → parquet sink; returns (seconds, n_turns_in).
+
+    ``stage`` decomposes the job for the scaling analysis (BENCH/
+    run_scaling.py): 'full' = the whole pipeline; 'catalyst' = the pure-
+    JVM part only (rule scoring, filter, scrub, window gates — no pandas
+    UDFs); 'udf' = the fused langid+perplexity Arrow UDF alone over the
+    raw turns."""
     from quality_filter.pipeline import clean_pipeline
     from quality_filter.scoring import with_scores
 
@@ -61,15 +69,25 @@ def run_headline(spark, transcripts_path: str) -> tuple[float, int]:
     # UDF scorers run on gate survivors (smaller Arrow volume); the
     # empty-conv gate uses the single-pass window strategy (measured faster
     # than agg_join here even with a cheap aggregate side).
-    result = with_scores(
-        clean_pipeline(
-            df,
-            mode="filter",
-            labels_to_remove="all",
-            scrub=True,
+    if stage == "catalyst":
+        result = clean_pipeline(
+            df, mode="filter", labels_to_remove="all", scrub=True,
             strategy="window",
         )
-    )
+    elif stage == "udf":
+        result = with_scores(df).select(
+            "conv_id", "turn_idx", "lang", "lang_prob", "logppl"
+        )
+    else:
+        result = with_scores(
+            clean_pipeline(
+                df,
+                mode="filter",
+                labels_to_remove="all",
+                scrub=True,
+                strategy="window",
+            )
+        )
     result.write.mode("overwrite").parquet(out_dir)
     dt = time.time() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -103,14 +121,16 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]
 
 
 def main() -> None:
-    spark = get_spark("qf_bench", cores=CPUS)
+    extra_conf = json.loads(os.environ.get("BENCH_EXTRA_CONF", "{}")) or None
+    spark = get_spark("qf_bench", cores=CPUS, extra_conf=extra_conf)
     tpath = ensure_transcripts(spark, N_CONVS)
+    stage = os.environ.get("BENCH_STAGE", "full")
     # warm-up run: JIT-compile the generated code, spawn the Python UDF
     # workers; then best-of-N measured runs (production jobs run for hours —
     # cold-start and GC jitter are noise at this scale)
-    run_headline(spark, tpath)
+    run_headline(spark, tpath, stage)
     reps = int(os.environ.get("BENCH_REPS", "2"))
-    results = [run_headline(spark, tpath) for _ in range(reps)]
+    results = [run_headline(spark, tpath, stage) for _ in range(reps)]
     headline_s, n_turns = min(results)
     qtimes: dict[str, float] = {}
     qspread: dict[str, float] = {}
@@ -128,6 +148,8 @@ def main() -> None:
         "turns_per_sec": round(n_turns / headline_s, 1),
         "cpus": CPUS,
     }
+    if stage != "full":
+        out["stage"] = stage
     spark.stop()
     print(json.dumps(out))
 

@@ -533,6 +533,83 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def _rep_stats_sql() -> str:
+    gram = (
+        "SELECT doc_id, {n} AS n, array_to_string(string_split(text,' ')"
+        "[(i+1):(i+{n})], ' ') AS g FROM documents, "
+        "unnest(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - {m})) AS t(i)"
+    )
+    return (
+        f"WITH grams AS ({gram.format(n=2, m=1)} UNION ALL {gram.format(n=5, m=4)}), "
+        "counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3), "
+        "stats AS (SELECT doc_id, "
+        " CAST(max(CASE WHEN n = 2 THEN c END) AS DOUBLE)"
+        "  / CAST(sum(CASE WHEN n = 2 THEN c END) AS DOUBLE) AS top2, "
+        " 1.0 - CAST(count(CASE WHEN n = 5 THEN 1 END) AS DOUBLE)"
+        "  / CAST(sum(CASE WHEN n = 5 THEN c END) AS DOUBLE) AS dup5 "
+        " FROM counts GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(s.top2, 0.0) AS top2gram_frac, "
+        "coalesce(s.dup5, 0.0) AS dup5gram_frac, "
+        "coalesce(s.top2 > 0.20 OR s.dup5 > 0.15, false) AS repetitive "
+        "FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id"
+    )
+
+
+@_register("repetition_stats", _rep_stats_sql())
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    applied at word-n-gram grain): fraction of the doc's 2-grams covered
+    by its single most frequent 2-gram, and the fraction of duplicate
+    5-grams; ``repetitive`` flags docs past the Gopher-ish thresholds
+    (0.20 / 0.15).  One explode → one (doc, n, gram) count → one per-doc
+    aggregate: both aggs are map-side combinable and shuffle one row per
+    distinct gram — the standard layout that survives 100 TB (same shape
+    as the minhash signature pass)."""
+    docs = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+
+    def grams(n: int):
+        cnt = F.size(w) - (n - 1)
+        return F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"), F.array_join(F.slice(w, i, n), " ").alias("g")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    exploded = docs.select(
+        "doc_id", F.explode(F.concat(grams(2), grams(5))).alias("gr")
+    ).select("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+    counts = exploded.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    is2, is5 = F.col("n") == 2, F.col("n") == 5
+    stats = counts.groupBy("doc_id").agg(
+        (
+            F.max(F.when(is2, F.col("c"))).cast("double")
+            / F.sum(F.when(is2, F.col("c"))).cast("double")
+        ).alias("top2"),
+        (
+            F.lit(1.0)
+            - F.count(F.when(is5, F.lit(1))).cast("double")
+            / F.sum(F.when(is5, F.col("c"))).cast("double")
+        ).alias("dup5"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top2", F.lit(0.0)).alias("top2gram_frac"),
+            F.coalesce("dup5", F.lit(0.0)).alias("dup5gram_frac"),
+            F.coalesce(
+                (F.col("top2") > 0.20) | (F.col("dup5") > 0.15), F.lit(False)
+            ).alias("repetitive"),
+        )
+    )
+
+
 # -- sampling / splits / joins / windows ------------------------------------
 
 @_register(
