@@ -112,6 +112,48 @@ def main() -> None:
         ),
     ))
 
+    ivf = QUERIES["ann_ivf_top5"](spark, "/root/testdata/sf0.01")
+    ivf.count()
+    sections.append((
+        "IVF ANN top-k (KMeans cells, centroid literals)",
+        "Corpus vectors join their cell id against the broadcast probed "
+        "query cells — an EQUI-join on cid; centroid assignment is a "
+        "narrow projection (centroids folded into the plan as literals, "
+        "no model broadcast, no UDF).  Shuffle scales with cell occupancy "
+        "× nprobe, not |corpus|×|queries|.",
+        "\n".join(
+            l for l in plan_of(ivf).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Window", "Scan"))
+        ),
+    ))
+
+    rep = QUERIES["repetition_stats"](spark, "/root/testdata/sf0.01")
+    rep.count()
+    sections.append((
+        "Repetition quality signals (Gopher-style)",
+        "One explode → partial-aggregated (doc, n, gram) counts → per-doc "
+        "aggregate: both HashAggregates are map-side combinable, so the "
+        "shuffle carries one row per distinct gram, then one per doc.",
+        "\n".join(
+            l for l in plan_of(rep).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate", "Generate"))
+        ),
+    ))
+
+    conv = QUERIES["dedup_convs_exact"](spark, "/root/testdata/sf0.01")
+    conv.count()
+    sections.append((
+        "Conversation-grain dedup (salted fingerprint)",
+        "Two bounded HashAggregates — (conv_id, segment) then conv_id — "
+        "hash ordered segment digests instead of materializing the joined "
+        "conversation string; the skewed 10^7-turn conversation never "
+        "exists as one value.",
+        "\n".join(
+            l for l in plan_of(conv).splitlines()
+            if any(k in l for k in ("Exchange", "Aggregate"))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
