@@ -76,12 +76,18 @@ def main() -> None:
     n_turns = results[cores_needed[0]]["n_turns"]
 
     # ---- per-stage decomposition of the specified 8→32 pair -------------
+    # The single stages are 2-4× faster than the full job, so at the
+    # whole-job input size their 32-core wall time drops to ~10 s and
+    # fixed overheads (job setup, sink commit) dominate — measured spread
+    # was ±30%.  Default to 4× the input for the stage runs so the
+    # measured region dominates the constant.
+    n_decomp = int(os.environ.get("BENCH_DECOMP_N_CONVS", str(4 * n_convs)))
     decomp_pair = pairs[-1]
     stage_results: dict[str, dict[int, dict]] = {}
     for stage in ("catalyst", "udf"):
         for c in decomp_pair:
             r = run_pinned(
-                c, n_convs, reps=2 if c <= 8 else 4, stage=stage
+                c, n_decomp, reps=2 if c <= 8 else 4, stage=stage
             )
             stage_results.setdefault(stage, {})[c] = r
             print(
@@ -98,7 +104,7 @@ def main() -> None:
     probe: dict[str, dict] = {}
     for batch in ("40000", "100000"):
         probe[batch] = run_pinned(
-            hi, n_convs, reps=3, stage="udf",
+            hi, n_decomp, reps=3, stage="udf",
             extra_env={
                 "BENCH_EXTRA_CONF": json.dumps(
                     {"spark.sql.execution.arrow.maxRecordsPerBatch": batch}
@@ -171,9 +177,13 @@ pair is reported as specified, with the host ceiling called out.
 ## Per-stage decomposition of the {lo} → {hi} pair
 
 Which fraction of the 8→32 shortfall is host saturation vs
-Python-worker overhead: the same input run through (a) the pure-Catalyst
+Python-worker overhead: the pipeline split into (a) the pure-Catalyst
 part only (rule scoring + filter + scrub + window gates — zero Python in
-the plan) and (b) the fused langid+perplexity Arrow UDF alone.
+the plan) and (b) the fused langid+perplexity Arrow UDF alone.  Stage
+runs use a {n_decomp // 1000}k-conversation input (~4× the whole-job
+table): the single stages are 2-4× faster than the full job, and at the
+whole-job size their 32-core wall time (~10 s) was dominated by fixed
+overheads — measured ±30% spread; at 4× the measured region dominates.
 
 | stage | turns/s @ {lo} | turns/s @ {hi} | {lo}→{hi} efficiency |
 |---|---|---|---|

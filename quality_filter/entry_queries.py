@@ -582,8 +582,16 @@ def q_repetition_stats(spark, sf_dir):
 
     exploded = docs.select(
         "doc_id", F.explode(F.concat(grams(2), grams(5))).alias("gr")
-    ).select("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
-    counts = exploded.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    ).select(
+        "doc_id",
+        F.col("gr.n").alias("n"),
+        # shuffle the 64-bit gram hash, not the gram string: identical
+        # count classes absent an intra-doc xxhash64 collision (~5e-12
+        # for 10^4-gram docs) at 2-3× fewer shuffle bytes — the lever
+        # that matters when this runs over 100 TB of text
+        F.xxhash64(F.col("gr.g")).alias("gh"),
+    )
+    counts = exploded.groupBy("doc_id", "n", "gh").agg(F.count(F.lit(1)).alias("c"))
     is2, is5 = F.col("n") == 2, F.col("n") == 5
     stats = counts.groupBy("doc_id").agg(
         (
