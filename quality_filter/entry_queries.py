@@ -424,7 +424,7 @@ def q_jaccard_near_dups(spark, sf_dir):
 _MERSENNE61 = (1 << 61) - 1
 
 
-def _minhash_sql() -> str:
+def _minhash_pair_ctes() -> str:
     # ONE md5 per shingle, split into two 60-bit halves (a, b), then the
     # 8 permutations are h_s = (a + s*b) mod 2^61-1 — the Kirsch-
     # Mitzenmacher universal-hashing construction.  Independent-enough
@@ -433,11 +433,13 @@ def _minhash_sql() -> str:
     # near 0 for long docs and blew the candidate join up 3.4×), and
     # without r2's 8-independent-digests constant (8× md5 string hashing
     # per shingle).  a + 7b < 8*2^60 = 2^63-8: no signed-64 overflow.
+    # Ends with a `cand` CTE so the near-dup clustering oracle can reuse
+    # the identical pair construction.
     aggs = ", ".join(
         f"min((a + {s}*b) % {_MERSENNE61}) AS h{s}" for s in range(8)
     )
     return (
-        "WITH sh AS (SELECT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
+        "sh AS (SELECT doc_id, unnest(list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 2),"
         " i -> array_to_string(string_split(text,' ')[(i+1):(i+3)], ' '))) AS shingle"
         " FROM documents),"
         "ab AS (SELECT doc_id,"
@@ -449,10 +451,14 @@ def _minhash_sql() -> str:
         "bands AS ("
         " SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '|' || h1 || '|' || h2 || '|' || h3 AS bh FROM sig"
         " UNION ALL"
-        " SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || '|' || h5 || '|' || h6 || '|' || h7 AS bh FROM sig) "
-        "SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a JOIN bands b"
-        " ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id"
+        " SELECT doc_id, 1 AS band, CAST(h4 AS VARCHAR) || '|' || h5 || '|' || h6 || '|' || h7 AS bh FROM sig),"
+        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"
     )
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_pair_ctes()} SELECT a, b FROM cand"
 
 
 @_register("minhash_candidates", _minhash_sql())
@@ -466,7 +472,10 @@ def q_minhash_candidates(spark, sf_dir):
     scale).  Same layout as dedup.lsh_candidates; the library path uses
     seeded xxhash64 (dedup.py) — this query's md5 construction exists for
     bit-exact DuckDB portability."""
-    docs = _docs(spark, sf_dir)
+    return _minhash_pairs_df(_docs(spark, sf_dir))
+
+
+def _minhash_pairs_df(docs):
     sh = docs.select(
         "doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle")
     )
@@ -1592,3 +1601,131 @@ def q_dedup_convs_exact(spark, sf_dir):
         .filter(F.col("n_copies") > 1)
         .select("keeper", "n_copies")
     )
+
+
+# -- near-dup clustering + decontamination + packing ------------------------
+
+def _cluster_sql() -> str:
+    # connected components of the minhash candidate graph as a recursive
+    # reachability closure: reach(s, d) = "d reachable from s"; the
+    # component representative is min(reachable ∪ {self}).  Fine at
+    # oracle scale (sf0.01 components are ≤ handfuls of docs); the Spark
+    # side is the iterative min-label propagation that scales.
+    return (
+        f"WITH RECURSIVE {_minhash_pair_ctes()}, "
+        "und AS (SELECT a AS s, b AS d FROM cand UNION ALL SELECT b, a FROM cand), "
+        "reach(s, d) AS ("
+        " SELECT doc_id, doc_id FROM documents"
+        " UNION"
+        " SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s) "
+        "SELECT s AS doc_id, MIN(d) AS cluster_rep FROM reach GROUP BY s"
+    )
+
+
+@_register("near_dup_clusters", _cluster_sql())
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: MinHash+LSH candidate pairs (same
+    construction as minhash_candidates) grouped into connected components
+    by iterative min-label propagation (cluster.connected_components) —
+    each doc mapped to its component's canonical representative (min id).
+    Transitive chains (A~B, B~C) land in one cluster in one pass; the
+    oracle computes the same components via a recursive reachability CTE.
+    Per-iteration cost: one edge⋈label shuffle join + one map-side-
+    combinable min groupBy; iteration count ≤ component diameter (tiny
+    for LSH graphs — banding links near-cliques)."""
+    from quality_filter.cluster import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_df(docs)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+_NGRAM8 = (
+    "list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 7),"
+    " i -> array_to_string(string_split(text,' ')[(i+1):(i+8)], ' '))"
+)
+
+
+@_register(
+    "decontaminate_docs",
+    f"WITH bench AS (SELECT DISTINCT unnest({_NGRAM8}) AS gram"
+    "  FROM documents WHERE doc_id % 97 = 0),"
+    f"dg AS (SELECT DISTINCT doc_id, unnest({_NGRAM8}) AS gram"
+    "  FROM documents WHERE doc_id % 97 <> 0),"
+    "hits AS (SELECT doc_id, count(*) AS n_overlap FROM dg JOIN bench USING (gram)"
+    "  GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,"
+    " COALESCE(h.n_overlap, 0) > 0 AS contaminated "
+    "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 97 <> 0",
+)
+def q_decontaminate_docs(spark, sf_dir):
+    """Test-set decontamination (GPT-3 appx. C / Gopher style): flag
+    training docs sharing any 8-word gram with a benchmark set (here the
+    deterministic doc_id % 97 == 0 subset standing in for an eval suite).
+    The benchmark gram set is broadcast — the corpus-side join is a
+    map-side hash probe, no shuffle of the training grams."""
+    from quality_filter.cluster import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=8)
+
+
+_PACK_T = (
+    "t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens"
+    " FROM documents), "
+    # DuckDB SUM(BIGINT) is HUGEINT — cast back so // and range() bind
+    "o AS (SELECT doc_id, n_tokens,"
+    " CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off FROM t)"
+)
+
+
+@_register(
+    "pack_sequences",
+    f"WITH {_PACK_T} "
+    "SELECT doc_id, n_tokens, start_off, start_off // 256 AS first_chunk,"
+    " (start_off + n_tokens - 1) // 256 AS last_chunk FROM o",
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing offsets: documents concatenated in
+    doc_id order, token stream cut into 256-token chunks; each doc gets
+    its global start offset and chunk span.  The global prefix sum runs
+    as the two-phase scan (packing.pack_offsets): per-shard window +
+    tiny shard-offset broadcast — no single-task global window.  The
+    oracle states the same packing with one flat window (fine at oracle
+    scale).  docs_per_shard=100 so even sf0.01 exercises the multi-shard
+    path (5 shards)."""
+    from quality_filter.packing import pack_offsets
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_offsets(t, budget=256, docs_per_shard=100)
+
+
+@_register(
+    "pack_chunks",
+    f"WITH {_PACK_T}, "
+    "e AS (SELECT doc_id, n_tokens, start_off,"
+    " unnest(range(start_off // 256, (start_off + n_tokens - 1) // 256 + 1)) AS chunk_id"
+    " FROM o) "
+    "SELECT chunk_id, doc_id,"
+    " greatest(chunk_id * 256 - start_off, 0) AS tok_from,"
+    " least(chunk_id * 256 + 256 - start_off, n_tokens) AS tok_to FROM e",
+)
+def q_pack_chunks(spark, sf_dir):
+    """Chunk-grain packing view: one row per (chunk_id, doc) with the
+    doc's token sub-range landing in that chunk — what a pretraining
+    data loader materializes.  Same two-phase prefix-sum plan as
+    pack_sequences plus one explode (docs span ≤ 2 chunks at this
+    budget); no extra shuffle."""
+    from quality_filter.packing import pack_chunks
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_chunks(t, budget=256, docs_per_shard=100)

@@ -1,0 +1,130 @@
+"""Unit tests for near-dup clustering (cluster.py) and sequence packing
+(packing.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from quality_filter.cluster import (
+    cluster_dedup,
+    connected_components,
+    decontaminate,
+)
+from quality_filter.packing import pack_chunks, pack_offsets
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs] or [(None, None)], "a bigint, b bigint"
+    ).filter(F.col("a").isNotNull())
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3, pair 7-5 (reversed orientation), singletons 9, 10
+    comp = connected_components(
+        _nodes(spark, [1, 2, 3, 5, 7, 9, 10]),
+        _edges(spark, [(1, 2), (2, 3), (7, 5)]),
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 9, 10: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path needs ~40 propagation rounds — the worst case for
+    # min-label propagation; must converge (not hit max_iter) and be right
+    n = 40
+    comp = connected_components(
+        _nodes(spark, range(n)), _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    )
+    reps = {r["cluster_rep"] for r in comp.collect()}
+    assert reps == {0}
+
+
+def test_connected_components_no_edges(spark):
+    comp = connected_components(_nodes(spark, [3, 4]), _edges(spark, []))
+    got = {r["doc_id"]: r["cluster_rep"] for r in comp.collect()}
+    assert got == {3: 3, 4: 4}
+
+
+def test_cluster_dedup_transitive_chain_one_pass(spark):
+    # A~B, B~C but not A~C: one-pass cluster dedup keeps only A
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (8, "w")], "doc_id bigint, text string"
+    )
+    out = cluster_dedup(df, _edges(spark, [(1, 2), (2, 3)]))
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 8]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains an 8-gram of the benchmark sentence
+            (1, "prefix words the quick brown fox jumps over the lazy suffix"),
+            (2, "completely unrelated content with no overlap at all here"),
+            (3, "short doc"),  # under 8 words -> no grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(train, bench, n=8).collect()
+    }
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+@pytest.fixture()
+def tok_df(spark):
+    # ids deliberately sparse across shards (docs_per_shard=4)
+    rows = [(0, 5), (1, 3), (2, 10), (5, 4), (6, 1), (9, 7)]
+    return spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+
+def test_pack_offsets_exact(spark, tok_df):
+    out = {
+        r["doc_id"]: (r["start_off"], r["first_chunk"], r["last_chunk"])
+        for r in pack_offsets(tok_df, budget=8, docs_per_shard=4).collect()
+    }
+    # cumulative stream: 0:0-5, 1:5-8, 2:8-18, 5:18-22, 6:22-23, 9:23-30
+    assert out == {
+        0: (0, 0, 0),
+        1: (5, 0, 0),
+        2: (8, 1, 2),
+        5: (18, 2, 2),
+        6: (22, 2, 2),
+        9: (23, 2, 3),
+    }
+
+
+def test_pack_chunks_partitions_the_stream(spark, tok_df):
+    rows = pack_chunks(tok_df, budget=8, docs_per_shard=4).collect()
+    # every doc's chunk sub-ranges tile [0, n_tokens) exactly
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok_from"], r["tok_to"]))
+    ntok = {r["doc_id"]: r["n_tokens"] for r in tok_df.collect()}
+    for doc, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert spans[-1][1] == ntok[doc]
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 == b0
+    # chunk token counts: every chunk except the last is exactly 8 tokens
+    per_chunk = {}
+    for r in rows:
+        per_chunk[r["chunk_id"]] = per_chunk.get(r["chunk_id"], 0) + (
+            r["tok_to"] - r["tok_from"]
+        )
+    last = max(per_chunk)
+    for cid, tot in per_chunk.items():
+        assert tot == 8 or cid == last
