@@ -319,3 +319,92 @@ def simhash64_grouped(
         )
         sh = term if sh is None else sh + term
     return per_doc.select(F.col(id_col), sh.alias("sh"))
+
+
+def duplicated_span_marks(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Word positions covered by NON-CANONICAL duplicated k-gram
+    occurrences — the marking half of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    word-grain variant): a k-word window that occurs more than once in
+    the corpus keeps only its first occurrence (minimum (id, pos)); every
+    other occurrence's positions are marked for removal.
+
+    Returns (id, wpos) distinct marked word positions.
+
+    Scale: grams are grouped by xxhash64 (collision odds ~1e-12 per
+    corpus-gram pair; the oracle groups by the gram string — identical
+    occurrence classes), canonical selection is a map-side-combinable
+    min(struct(id, pos)) aggregate — NO per-gram window, so boilerplate
+    grams with millions of occurrences cost one combiner-reduced row; the
+    occurrence⋈gram-info join builds its hash table on the one-row-per-
+    gram side."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w) - (k - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.xxhash64(F.array_join(F.slice(w, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "gh"))
+    info = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("mn"),
+    )
+    noncanon = (
+        occ.join(info.filter(F.col("c") > 1), "gh")
+        .filter(F.struct(F.col(id_col), F.col("pos")) != F.col("mn"))
+        .select(id_col, "pos")
+    )
+    return noncanon.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos"),
+    ).distinct()
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Exact-substring dedup: cut duplicated k-word spans (all but their
+    first corpus occurrence) out of every document.  Returns
+    (id, clean_text, n_removed) — clean_text is the surviving words in
+    original order.
+
+    Reassembly is explode → anti-join marked positions → ordered
+    group-concat: every shuffle keys on the gram hash or the doc id, and
+    per-group state is bounded by document length."""
+    marked = duplicated_span_marks(df, id_col, text_col, k)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("wpos", "word"),
+    )
+    kept = words.join(marked, [id_col, "wpos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("wpos"), F.col("word").alias("w")))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("_n_words"),
+    )
+    return (
+        base.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_n_words") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

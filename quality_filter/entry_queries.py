@@ -1729,3 +1729,47 @@ def q_pack_chunks(spark, sf_dir):
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
     )
     return pack_chunks(t, budget=256, docs_per_shard=100)
+
+
+def _substr_dedup_sql() -> str:
+    # same semantics with gram STRINGS (Spark groups on xxhash64(gram) —
+    # identical occurrence classes, see dedup.duplicated_span_marks) and
+    # the canonical occurrence encoded as min(doc_id*2^20 + pos), which
+    # orders identically to the Spark side's min(struct(doc_id, pos))
+    # while positions stay under 2^20 (documents here are <100 words;
+    # the library path uses the struct ordering with no bound).
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents), "
+        "g AS (SELECT doc_id, i AS pos, array_to_string(ws[(i+1):(i+5)],' ') AS gram"
+        " FROM w, unnest(range(0, CAST(len(ws) AS BIGINT)-4)) AS t(i)), "
+        "info AS (SELECT gram, count(*) AS c, min(doc_id*1048576+pos) AS mn"
+        " FROM g GROUP BY gram), "
+        "noncanon AS (SELECT g.doc_id, g.pos FROM g JOIN info ON g.gram = info.gram"
+        " WHERE info.c > 1 AND g.doc_id*1048576+g.pos <> info.mn), "
+        "marked AS (SELECT DISTINCT doc_id, pos+j AS wpos"
+        " FROM noncanon, unnest(range(0,5)) AS u(j)), "
+        "words AS (SELECT doc_id, i AS wpos, ws[i+1] AS word"
+        " FROM w, unnest(range(0, CAST(len(ws) AS BIGINT))) AS t(i)), "
+        "kept AS (SELECT words.doc_id, words.wpos, word FROM words"
+        " LEFT JOIN marked m ON words.doc_id = m.doc_id AND words.wpos = m.wpos"
+        " WHERE m.doc_id IS NULL), "
+        "agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,"
+        " count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,"
+        " CAST(len(string_split(d.text,' ')) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed "
+        "FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+@_register("substring_dedup_docs", _substr_dedup_sql())
+def q_substring_dedup_docs(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022, word-grain): 5-word spans
+    occurring more than once in the corpus keep only their first
+    occurrence (min (doc_id, pos)); every other occurrence is cut out of
+    its document.  Canonical selection is a map-side-combinable
+    min-struct aggregate (no per-gram window — boilerplate grams with
+    millions of occurrences reduce in the combiner); reassembly is
+    explode → anti-join → ordered group-concat, all keyed on doc_id."""
+    from quality_filter.dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), k=5)

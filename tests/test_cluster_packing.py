@@ -128,3 +128,55 @@ def test_pack_chunks_partitions_the_stream(spark, tok_df):
     last = max(per_chunk)
     for cid, tot in per_chunk.items():
         assert tot == 8 or cid == last
+
+
+# -- exact-substring dedup ---------------------------------------------------
+
+def _sub_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_substring_dedup_cross_doc(spark):
+    from quality_filter.dedup import substring_dedup
+
+    span = "alpha beta gamma delta epsilon"
+    df = _sub_df(
+        spark,
+        [
+            (1, f"start {span} end"),
+            (2, f"other words here {span} tail words here"),
+            (3, "nothing shared with anyone at all here"),
+        ],
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+           substring_dedup(df, k=5).collect()}
+    # doc 1 holds the canonical (min doc_id) occurrence -> untouched
+    assert got[1] == (f"start {span} end", 0)
+    assert got[2] == ("other words here tail words here", 5)
+    assert got[3][1] == 0
+
+
+def test_substring_dedup_within_doc_and_full_dup(spark):
+    from quality_filter.dedup import substring_dedup
+
+    span = "one two three four five"
+    df = _sub_df(
+        spark,
+        [
+            (1, f"{span} x {span}"),  # second occurrence removed
+            (2, span),                # whole doc duplicates doc 1's span
+        ],
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+           substring_dedup(df, k=5).collect()}
+    assert got[1] == (f"{span} x", 5)
+    assert got[2] == ("", 5)
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    from quality_filter.dedup import substring_dedup
+
+    df = _sub_df(spark, [(1, "too short"), (2, "too short")])
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
+           substring_dedup(df, k=5).collect()}
+    assert got == {1: ("too short", 0), 2: ("too short", 0)}
