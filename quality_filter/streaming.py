@@ -310,3 +310,46 @@ def _drain_and_stop(spark, query, idle_batches: int = 3,
         spark.streams.removeListener(listener)
         query.stop()
         query.awaitTermination()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    watermark: str = "10 minutes",
+    await_termination: bool = True,
+):
+    """Streaming exact dedup: drop turns whose normalized text fingerprint
+    was already seen within the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — state is pruned once the
+    watermark passes, so memory is bounded by the dup horizon, not the
+    stream length; the batch-side analog is ``dedup.exact_dedup``).
+
+    Keyed on (conv_id, fingerprint): duplicate REPLAYS of a turn are
+    dropped while legitimately repeated text across conversations
+    survives.  Exactly-once per input file via the checkpoint, like the
+    other streaming entry points."""
+    from quality_filter.dedup import normalized_text
+
+    src = _source(spark, input_dir, fmt)
+    fp = F.md5(
+        F.encode(normalized_text(F.coalesce(F.col("text"), F.lit(""))), "UTF-8")
+    )
+    out = (
+        src.withColumn("_fp", fp)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "_fp"])
+        .drop("_fp")
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -258,3 +258,37 @@ def test_cli_salvage_min_doc_length_passthrough(spark, tmpdir):
 
     # the 250-char doc gate must drop strictly more than the open gate
     assert n_open > n_default, (n_open, n_default)
+
+
+def test_stream_dedup_drops_replays_keeps_cross_conv(spark, tmpdir):
+    inp, outp, ckpt = f"{tmpdir}/sd_in", f"{tmpdir}/sd_out", f"{tmpdir}/sd_ckpt"
+    from quality_filter.streaming import stream_dedup
+
+    base = synth_transcripts(spark, n_convs=10, seed=3)
+    # replay 5 turns verbatim (same conv, same text -> dropped) and plant
+    # one cross-conversation repeat (other conv, same text -> kept)
+    replay = base.limit(5)
+    first = base.limit(1)
+    cross = first.withColumn("conv_id", F.concat(F.lit("x_"), F.col("conv_id")))
+    base.unionByName(replay).unionByName(cross).write.mode("append").parquet(inp)
+
+    stream_dedup(spark, inp, outp, ckpt)
+    out = spark.read.parquet(outp)
+    # distinct (conv_id, normalized text) pairs survive exactly once —
+    # the dedup key normalizes like dedup.exact_dedup does
+    from quality_filter.dedup import normalized_text
+
+    want = (
+        base.unionByName(cross)
+        .select(
+            "conv_id",
+            normalized_text(F.coalesce(F.col("text"), F.lit(""))).alias("nt"),
+        )
+        .distinct()
+        .count()
+    )
+    assert out.count() == want
+    assert out.filter(F.col("conv_id").startswith("x_")).count() == 1
+    # second run with no new files processes nothing (checkpoint)
+    stream_dedup(spark, inp, outp, ckpt)
+    assert spark.read.parquet(outp).count() == want
