@@ -153,9 +153,14 @@ def decontaminate(
     ).distinct()
     doc_grams = df.select(
         F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    )
+    # join FIRST, dedup after: the broadcast probe filters the corpus gram
+    # stream map-side, so the (doc, gram) distinct shuffles only the hit
+    # set (eval-suite sized) — a pre-join distinct would shuffle every
+    # gram in the corpus
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

@@ -1648,11 +1648,21 @@ _NGRAM8 = (
 
 @_register(
     "decontaminate_docs",
-    f"WITH bench AS (SELECT DISTINCT unnest({_NGRAM8}) AS gram"
-    "  FROM documents WHERE doc_id % 97 = 0),"
-    f"dg AS (SELECT DISTINCT doc_id, unnest({_NGRAM8}) AS gram"
+    "WITH benchdocs AS ("
+    " SELECT text FROM documents WHERE doc_id % 97 = 0"
+    " UNION ALL"
+    # eval questions quoting training docs: 12-word snippets of every
+    # doc_id % 89 = 1 training doc (the planted-leak population)
+    " SELECT array_to_string(string_split(text,' ')[1:12], ' ')"
+    " FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 89 = 1), "
+    "bench AS (SELECT DISTINCT unnest("
+    "  list_transform(range(0, CAST(len(string_split(text,' ')) AS BIGINT) - 7),"
+    "  i -> array_to_string(string_split(text,' ')[(i+1):(i+8)], ' '))) AS gram"
+    "  FROM benchdocs),"
+    f"dg AS (SELECT doc_id, unnest({_NGRAM8}) AS gram"
     "  FROM documents WHERE doc_id % 97 <> 0),"
-    "hits AS (SELECT doc_id, count(*) AS n_overlap FROM dg JOIN bench USING (gram)"
+    "hits AS (SELECT doc_id, count(*) AS n_overlap FROM"
+    "  (SELECT DISTINCT doc_id, gram FROM dg JOIN bench USING (gram))"
     "  GROUP BY doc_id) "
     "SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,"
     " COALESCE(h.n_overlap, 0) > 0 AS contaminated "
@@ -1660,15 +1670,21 @@ _NGRAM8 = (
 )
 def q_decontaminate_docs(spark, sf_dir):
     """Test-set decontamination (GPT-3 appx. C / Gopher style): flag
-    training docs sharing any 8-word gram with a benchmark set (here the
-    deterministic doc_id % 97 == 0 subset standing in for an eval suite).
-    The benchmark gram set is broadcast — the corpus-side join is a
-    map-side hash probe, no shuffle of the training grams."""
+    training docs sharing any 8-word gram with a benchmark set — the
+    deterministic doc_id % 97 == 0 subset plus planted eval questions
+    quoting 12-word snippets of every doc_id % 89 == 1 training doc, so
+    the hit path is exercised (those docs MUST come back contaminated
+    with ≥5 overlapping grams).  The benchmark gram set is broadcast —
+    the corpus-side join is a map-side hash probe; the (doc, gram)
+    distinct happens AFTER the probe so only the hit set shuffles."""
     from quality_filter.cluster import decontaminate
 
     docs = _docs(spark, sf_dir)
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
+    snippets = train.filter(F.col("doc_id") % 89 == 1).select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text").unionByName(snippets)
     return decontaminate(train, bench, n=8)
 
 
