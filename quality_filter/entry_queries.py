@@ -1789,3 +1789,33 @@ def q_substring_dedup_docs(spark, sf_dir):
     from quality_filter.dedup import substring_dedup
 
     return substring_dedup(_docs(spark, sf_dir), k=5)
+
+
+@_register(
+    "mixture_resample_docs",
+    "WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
+    "tot AS (SELECT count(*) AS t FROM documents), "
+    "w(source, wpm) AS (VALUES ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)), "
+    "rates AS (SELECT c.source,"
+    " least(1000, (t.t * 100 * w.wpm) // (1000 * c.n)) AS thr"
+    " FROM counts c JOIN w USING (source) CROSS JOIN tot t) "
+    "SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)"
+    " WHERE (d.doc_id * 2654435761) % 1000 < r.thr",
+)
+def q_mixture_resample_docs(spark, sf_dir):
+    """Domain-mixture resampling (The Pile-style source rebalancing):
+    keep a deterministic ~10% budget whose source proportions follow the
+    400/300/200/100 per-mille target over src0..src3 (other sources
+    dropped).  Per-domain thresholds derive from one count aggregate and
+    come back via a broadcast join; row selection is the engine-portable
+    multiplicative mixing used by the split/shard queries — no corpus
+    shuffle anywhere (sampling.mixture_resample)."""
+    from quality_filter.sampling import mixture_resample
+
+    docs = _docs(spark, sf_dir)
+    out = mixture_resample(
+        docs,
+        {"src0": 400, "src1": 300, "src2": 200, "src3": 100},
+        budget_pm=100,
+    )
+    return out.select("doc_id", "source")

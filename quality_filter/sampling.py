@@ -82,3 +82,55 @@ def shard(df: DataFrame, key: str, n_shards: int, shard_idx: int) -> DataFrame:
 def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
     """R4: deterministic global shuffle order (``src/train_classifier.py:175``)."""
     return df.orderBy(F.rand(seed))
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, int],
+    key: str = "doc_id",
+    domain_col: str = "source",
+    budget_pm: int = 500,
+) -> DataFrame:
+    """Domain-mixture resampling (The Pile / DoReMi-static style): keep a
+    deterministic subset sized ``budget_pm``/1000 of the corpus whose
+    domain proportions approach ``weights`` (per-mille integers summing
+    to 1000; domains absent from the map are dropped).
+
+    Per-domain keep threshold (0-1000, integer arithmetic so the same
+    rows are chosen by any engine):
+
+        thr_d = min(1000, (N_total * budget_pm * w_pm_d) // (1000 * N_d))
+        (= 1000 * target_rows_d / N_d, target_rows_d = N_total * budget_pm/1000 * w_pm_d/1000)
+        keep  <=> (key * 2654435761) % 1000 < thr_d
+
+    A domain with fewer rows than its target saturates at thr=1000 (keep
+    all — deterministic selection cannot oversample; upsampling is a
+    repeat-explode concern, not a filter).
+
+    Scale: one map-side-combinable count aggregate over the corpus, the
+    per-domain thresholds come back via a BROADCAST join (|domains| rows),
+    then a narrow filter — no corpus shuffle."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = df.count()
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    # integer division via decimal (exact at any corpus size; float floor
+    # would drift past 2^53).  Unmapped domains must drop BEFORE the
+    # least(): Spark's least() skips NULL arguments, so a NULL weight
+    # would otherwise saturate to threshold 1000 (keep-all).
+    mapped = counts.filter(wmap[F.col(domain_col)].isNotNull())
+    num = (F.lit(total) * F.lit(budget_pm) * wmap[F.col(domain_col)]).cast(
+        "decimal(38,0)"
+    )
+    den = (F.lit(1000) * F.col("_n")).cast("decimal(38,0)")
+    thr = F.least(
+        F.lit(1000).cast("bigint"),
+        F.floor(num / den).cast("bigint"),
+    )
+    rates = mapped.select(domain_col, thr.alias("_thr"))
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(deterministic_bucket(key) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -180,3 +180,33 @@ def test_substring_dedup_short_docs_untouched(spark):
     got = {r["doc_id"]: (r["clean_text"], r["n_removed"]) for r in
            substring_dedup(df, k=5).collect()}
     assert got == {1: ("too short", 0), 2: ("too short", 0)}
+
+
+# -- domain-mixture resampling -------------------------------------------------
+
+def test_mixture_resample_proportions_and_saturation(spark):
+    from quality_filter.sampling import mixture_resample
+
+    rows = [(i, "big" if i % 10 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # targets: rare 500pm, big 500pm of a 200pm budget -> rare target =
+    # 2000*0.2*0.5 = 200 rows but only has 200 -> saturates (keep all);
+    # big target = 200 of 1800 -> ~11% kept
+    out = mixture_resample(
+        df, {"rare": 500, "big": 500}, budget_pm=200, domain_col="source"
+    )
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["rare"] == 200               # saturated: kept all
+    assert 140 <= got["big"] <= 260         # ~200 at 1000-bucket granularity
+    # unmapped domains are dropped entirely
+    df2 = df.withColumn(
+        "source", F.when(F.col("doc_id") < 100, "unmapped").otherwise("big")
+    )
+    out2 = mixture_resample(df2, {"big": 1000}, budget_pm=200, domain_col="source")
+    assert out2.filter(F.col("source") == "unmapped").count() == 0
+    # determinism: same rows on re-run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mixture_resample(
+        df, {"rare": 500, "big": 500}, budget_pm=200, domain_col="source").collect())
+    assert a == b
