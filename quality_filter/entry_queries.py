@@ -1819,3 +1819,31 @@ def q_mixture_resample_docs(spark, sf_dir):
         budget_pm=100,
     )
     return out.select("doc_id", "source")
+
+
+@_register(
+    "mixture_upsample_docs",
+    "WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
+    "tot AS (SELECT count(*) AS t FROM documents), "
+    "w(source, wpm) AS (VALUES ('src0', 730), ('src1', 270)), "
+    "rates AS (SELECT c.source,"
+    " ((t.t * 500 * w.wpm) // 1000000) // c.n AS base,"
+    " (1000 * (((t.t * 500 * w.wpm) // 1000000) % c.n)) // c.n AS fthr"
+    " FROM counts c JOIN w USING (source) CROSS JOIN tot t) "
+    "SELECT d.doc_id, d.source, u.j AS copy_idx "
+    "FROM documents d JOIN rates r USING (source), "
+    "unnest(range(0, r.base + CASE WHEN (d.doc_id * 2654435761) % 1000 < r.fthr"
+    " THEN 1 ELSE 0 END)) AS u(j)",
+)
+def q_mixture_upsample_docs(spark, sf_dir):
+    """Multi-epoch domain upsampling: src0/src1 repeated to a 73/27
+    per-mille mixture over half the corpus budget — small domains gain
+    whole-corpus copies (base) plus a deterministic fractional remainder;
+    each output row carries copy_idx (sampling.mixture_upsample).  Same
+    broadcast-threshold shape as mixture_resample plus one explode —
+    output volume equals the requested budget, no corpus shuffle."""
+    from quality_filter.sampling import mixture_upsample
+
+    docs = _docs(spark, sf_dir)
+    out = mixture_upsample(docs, {"src0": 730, "src1": 270}, budget_pm=500)
+    return out.select("doc_id", "source", "copy_idx")

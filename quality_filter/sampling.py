@@ -134,3 +134,60 @@ def mixture_resample(
         .filter(deterministic_bucket(key) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    weights: dict[str, int],
+    key: str = "doc_id",
+    domain_col: str = "source",
+    budget_pm: int = 1000,
+) -> DataFrame:
+    """Upsampling counterpart of ``mixture_resample``: domains whose
+    target exceeds their row count are REPEATED (multi-epoch mixing for
+    small high-value domains).  Each kept row gains a ``copy_idx``
+    column (0-based); target_d = N_total * budget_pm/1000 * w_pm_d/1000:
+
+        base_copies_d = target_d // N_d
+        one more copy where (key * 2654435761) % 1000 <
+        (1000 * (target_d % N_d)) // N_d   (fractional remainder)
+
+    Rows in domains with target < N_d get copies 0 or 1 by the same rule
+    (base 0 + fractional) — i.e. downsampling falls out as base_copies=0.
+    Scale: count aggregate + broadcast join + one explode of
+    ``sequence(1, copies)``; output volume = requested budget, shuffles
+    nowhere."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = df.count()
+    wmap = F.create_map(
+        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    mapped = counts.filter(wmap[F.col(domain_col)].isNotNull())
+    target = F.floor(
+        (F.lit(total) * F.lit(budget_pm) * wmap[F.col(domain_col)]).cast(
+            "decimal(38,0)"
+        )
+        / F.lit(1000000).cast("decimal(38,0)")
+    ).cast("bigint")
+    base = F.floor(target.cast("decimal(38,0)") / F.col("_n").cast("decimal(38,0)"))
+    rem = target - base * F.col("_n")
+    frac_thr = F.floor(
+        (F.lit(1000) * rem).cast("decimal(38,0)") / F.col("_n").cast("decimal(38,0)")
+    )
+    rates = mapped.select(
+        domain_col,
+        base.cast("bigint").alias("_base"),
+        frac_thr.cast("bigint").alias("_fthr"),
+    )
+    copies = F.col("_base") + F.when(
+        deterministic_bucket(key) < F.col("_fthr"), 1
+    ).otherwise(0)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_copies") - 1))
+        )
+        .drop("_base", "_fthr", "_copies")
+    )

@@ -210,3 +210,25 @@ def test_mixture_resample_proportions_and_saturation(spark):
     b = sorted(r["doc_id"] for r in mixture_resample(
         df, {"rare": 500, "big": 500}, budget_pm=200, domain_col="source").collect())
     assert a == b
+
+
+def test_mixture_upsample_copies_and_budget(spark):
+    from quality_filter.sampling import mixture_upsample
+
+    rows = [(i, "rare" if i < 50 else "big") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    # rare: target = 1000 * 0.5 * 0.5 = 250 of 50 rows -> base 5 copies
+    # big: target = 250 of 950 rows -> base 0, fractional ~26%
+    out = mixture_upsample(df, {"rare": 500, "big": 500}, budget_pm=500)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["rare"] == 250
+    assert 180 <= got["big"] <= 320
+    # copy_idx dense 0..copies-1 per row
+    per = out.filter("source = 'rare'").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("copy_idx").alias("lo"),
+        F.max("copy_idx").alias("hi"),
+    )
+    bad = per.filter((F.col("lo") != 0) | (F.col("hi") != F.col("c") - 1)).count()
+    assert bad == 0
