@@ -1847,3 +1847,28 @@ def q_mixture_upsample_docs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = mixture_upsample(docs, {"src0": 730, "src1": 270}, budget_pm=500)
     return out.select("doc_id", "source", "copy_idx")
+
+
+def _top_quality_sql() -> str:
+    qsql = _quality_score_sql()
+    return (
+        f"WITH s AS ({qsql}), "
+        "thr AS (SELECT quantile_cont(quality_score, 0.75) AS t FROM s) "
+        "SELECT s.doc_id, s.quality_score FROM s, thr WHERE s.quality_score >= thr.t"
+    )
+
+
+@_register("top_quality_docs", _top_quality_sql())
+def q_top_quality_docs(spark, sf_dir):
+    """Quality-threshold selection (FineWeb-style): keep the top 25% of
+    docs by heuristic quality score.  The cutoff is one scalar from a
+    single aggregate pass (exact sort-based percentile here — matches
+    DuckDB quantile_cont bit-for-bit on the bround-3 scores; the at-scale
+    swap-in is approx_percentile, same plan shape, see
+    textstats.select_top_quality) folded into a narrow filter — no global
+    sort or rank shuffle."""
+    from quality_filter.textstats import select_top_quality
+
+    return select_top_quality(_docs(spark, sf_dir), frac=0.25).select(
+        "doc_id", "quality_score"
+    )

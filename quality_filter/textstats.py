@@ -149,3 +149,32 @@ def fingerprint_md5_sql(t: str) -> str:
         f"list_reduce(list_prepend(CAST({FP_SEED} AS BIGINT), {hs}), "
         f"(acc, h) -> (acc * 31 + h) % {FP_MOD})"
     )
+
+
+def select_top_quality(
+    df: DataFrame, frac: float = 0.25, text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Quality-threshold selection (FineWeb-style): keep the documents
+    whose heuristic quality score sits in the top ``frac`` of the corpus
+    distribution.  The cutoff is ONE scalar — computed in a single
+    aggregate pass and folded into a filter, so selection costs no sort
+    and no shuffle of the corpus (vs a global rank/ntile, which would).
+
+    ``exact=True`` uses the sort-based ``percentile`` aggregate —
+    deterministic, used by the oracle-bound driver query; at 10^12 rows
+    swap ``exact=False`` for ``approx_percentile`` (KLL sketch, bounded
+    memory, rank error ~1e-4) — the threshold then drifts within sketch
+    tolerance but the plan shape is identical.
+
+    Returns the kept rows with a ``quality_score`` column."""
+    q = 1.0 - frac
+    scored = df.withColumn(
+        "quality_score", quality_score_expr(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    fn = F.percentile if exact else F.approx_percentile
+    args = (F.col("quality_score"), F.lit(q)) if exact else (
+        F.col("quality_score"), F.lit(q), F.lit(10000)
+    )
+    thr = scored.agg(fn(*args).alias("t")).collect()[0]["t"]
+    return scored.filter(F.col("quality_score") >= F.lit(thr))
