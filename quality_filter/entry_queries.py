@@ -1872,3 +1872,26 @@ def q_top_quality_docs(spark, sf_dir):
     return select_top_quality(_docs(spark, sf_dir), frac=0.25).select(
         "doc_id", "quality_score"
     )
+
+
+@_register(
+    "near_dup_dedup_docs",
+    f"WITH RECURSIVE {_minhash_pair_ctes()}, "
+    "und AS (SELECT a AS s, b AS d FROM cand UNION ALL SELECT b, a FROM cand), "
+    "reach(s, d) AS ("
+    " SELECT doc_id, doc_id FROM documents"
+    " UNION"
+    " SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s), "
+    "comp AS (SELECT s AS doc_id, MIN(d) AS rep FROM reach GROUP BY s) "
+    "SELECT doc_id FROM comp WHERE doc_id = rep",
+)
+def q_near_dup_dedup_docs(spark, sf_dir):
+    """End-to-end near-dup dedup: MinHash+LSH pairs → connected
+    components → keep ONE canonical doc per cluster (cluster.cluster_dedup
+    — transitive chains collapse in a single pass, unlike one-hop
+    pair dedup).  Output: surviving doc_ids."""
+    from quality_filter.cluster import cluster_dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = _minhash_pairs_df(docs)
+    return cluster_dedup(docs, pairs).select("doc_id")
