@@ -102,7 +102,7 @@ def main() -> None:
 
     # ---- Arrow batch-size probe on the UDF stage at max parallelism -----
     probe: dict[str, dict] = {}
-    for batch in ("40000", "100000"):
+    for batch in ("2500", "40000", "100000"):
         probe[batch] = run_pinned(
             hi, n_decomp, reps=3, stage="udf",
             extra_env={
