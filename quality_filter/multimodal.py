@@ -372,3 +372,68 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         }
         rows.append((i, modality, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """REAL pixel resize for stdlib-decodable image rows: decode (P6 PPM /
+    PNG), nearest-neighbor downscale so the longer side is ≤ ``max_side``
+    (aspect preserved, never upscales), re-encode as P6 PPM.  Adds
+
+        resized   binary  — PPM bytes (or the original payload untouched)
+        resized_w/resized_h int — output dims (original dims on fallback)
+        was_resized boolean — False for non-image rows, undecodable
+                              payloads (JPEG/corrupt — the codec seam),
+                              and images already within bounds
+
+    Same mapInPandas shape as extract_features: partition-preserving,
+    Arrow-batched, total (a corrupt payload can never kill the job)."""
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("resized_w", T.IntegerType(), True),
+            T.StructField("resized_h", T.IntegerType(), True),
+            T.StructField("was_resized", T.BooleanType(), True),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs, ws, hs, flags = [], [], [], []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                img = None
+                if modality == "image":
+                    try:
+                        img = real_decode("image", raw)
+                    except Exception:
+                        img = None  # compressed/corrupt: pass through
+                if img is None or max(img.shape[0], img.shape[1]) <= max_side:
+                    rs.append(raw)
+                    hs.append(None if img is None else int(img.shape[0]))
+                    ws.append(None if img is None else int(img.shape[1]))
+                    flags.append(False)
+                    continue
+                h, w = img.shape[0], img.shape[1]
+                scale = max_side / float(max(h, w))
+                nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+                yi = (np.arange(nh) * (h / nh)).astype(np.int64)
+                xi = (np.arange(nw) * (w / nw)).astype(np.int64)
+                small = img[yi][:, xi, :3].astype(np.uint8)  # alpha dropped
+                rs.append(
+                    b"P6\n%d %d\n255\n" % (nw, nh) + small.tobytes()
+                )
+                hs.append(nh)
+                ws.append(nw)
+                flags.append(True)
+            res = pdf[cols].copy()
+            res["resized"] = rs
+            res["resized_w"] = pd.array(ws, dtype="Int32")
+            res["resized_h"] = pd.array(hs, dtype="Int32")
+            res["was_resized"] = flags
+            yield res
+
+    return df.mapInPandas(run, out_schema)

@@ -353,3 +353,36 @@ def test_bucketed_table_join_has_no_exchange(spark, tmpdir):
     assert n_exchange <= 1, plan[:2000]
     spark.sql("DROP TABLE IF EXISTS qf_bucketed_a")
     spark.sql("DROP TABLE IF EXISTS qf_bucketed_b")
+
+
+def test_resize_images_real_pixels(spark):
+    from quality_filter.multimodal import (
+        _decode_ppm,
+        real_decode,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    out = {r["media_id"]: r for r in resize_images(media, max_side=8).collect()}
+    for i, r in out.items():
+        if r["modality"] != "image":
+            # non-image rows pass through untouched
+            assert r["was_resized"] is False
+            assert bytes(r["resized"]) == bytes(r["payload"])
+            continue
+        assert r["was_resized"] is True
+        assert (r["resized_w"], r["resized_h"]) == (8, 6)  # 16x12 -> 8x6
+        small = _decode_ppm(bytes(r["resized"]))
+        assert small.shape == (6, 8, 3)
+        # nearest-neighbor: every output pixel exists at the sampled
+        # source coordinate of the original
+        orig = real_decode("image", bytes(r["payload"]))
+        assert (small == orig[::2, ::2, :3]).all()
+    # corrupt image payload: total fallback, no resize
+    corrupt = spark.createDataFrame(
+        [(99, "image", bytearray(b"P6\n16 12\n255\n tiny"), None)],
+        media.schema,
+    )
+    r = resize_images(corrupt, max_side=8).collect()[0]
+    assert r["was_resized"] is False and bytes(r["resized"]) == bytes(r["payload"])
