@@ -437,3 +437,65 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
             yield res
 
     return df.mapInPandas(run, out_schema)
+
+def downsample_audio(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """REAL audio decimation for stdlib-decodable (PCM WAV) rows: decode,
+    keep every ``every_n``-th sample, re-encode WAV at rate/every_n
+    (naive decimation — no anti-alias filter; the point is the total
+    Spark plumbing, the DSP itself is a model-side concern).  Adds
+
+        resampled binary, resampled_rate int, was_resampled boolean
+
+    Non-audio rows and undecodable payloads (MP3/corrupt — the codec
+    seam) pass through flagged False.  Same mapInPandas contract as
+    extract_features/resize_images."""
+    import io
+    import wave as wave_mod
+
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("resampled", T.BinaryType(), True),
+            T.StructField("resampled_rate", T.IntegerType(), True),
+            T.StructField("was_resampled", T.BooleanType(), True),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, rates, flags = [], [], []
+            for modality, payload in zip(pdf["modality"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                dec = None
+                if modality == "audio":
+                    try:
+                        dec = real_decode("audio", raw)
+                    except Exception:
+                        dec = None
+                if dec is None:
+                    outs.append(raw)
+                    rates.append(None)
+                    flags.append(False)
+                    continue
+                samples, rate = dec
+                small = samples[::every_n]
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(samples.shape[1])
+                    wf.setsampwidth(2)
+                    wf.setframerate(max(1, rate // every_n))
+                    wf.writeframes(small.astype(np.int16).tobytes())
+                outs.append(buf.getvalue())
+                rates.append(max(1, rate // every_n))
+                flags.append(True)
+            res = pdf[cols].copy()
+            res["resampled"] = outs
+            res["resampled_rate"] = pd.array(rates, dtype="Int32")
+            res["was_resampled"] = flags
+            yield res
+
+    return df.mapInPandas(run, out_schema)

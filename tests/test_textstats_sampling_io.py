@@ -386,3 +386,26 @@ def test_resize_images_real_pixels(spark):
     )
     r = resize_images(corrupt, max_side=8).collect()[0]
     assert r["was_resized"] is False and bytes(r["resized"]) == bytes(r["payload"])
+
+
+def test_downsample_audio_real_samples(spark):
+    from quality_filter.multimodal import (
+        _decode_wav,
+        downsample_audio,
+        real_decode,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12)
+    out = {r["media_id"]: r for r in downsample_audio(media, every_n=4).collect()}
+    for i, r in out.items():
+        if r["modality"] != "audio":
+            assert r["was_resampled"] is False
+            assert bytes(r["resampled"]) == bytes(r["payload"])
+            continue
+        assert r["was_resampled"] is True
+        assert r["resampled_rate"] == 2000  # 8000 // 4
+        small, rate = _decode_wav(bytes(r["resampled"]))
+        orig, _ = real_decode("audio", bytes(r["payload"]))
+        assert rate == 2000
+        assert (small == orig[::4]).all()
