@@ -48,8 +48,12 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
-    """Connected components by min-label propagation.
+    """Connected components by min-label propagation (default) or the
+    alternating large-star/small-star algorithm (``algorithm='star'``,
+    Kiveris et al. SoCC'14 — O(log² n) rounds, for graphs with long
+    chains where propagation's diameter-bounded rounds would be slow).
 
     ``nodes``: one row per vertex (``id_col``); vertices with no edge
     become singleton clusters.  ``edges``: undirected edge list as
@@ -59,6 +63,10 @@ def connected_components(
     vertex id reachable from the vertex (the component's canonical
     representative).
     """
+    if algorithm == "star":
+        return _star_components(nodes, edges, id_col, a_col, b_col, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     und = (
         edges.select(F.col(a_col).alias("_s"), F.col(b_col).alias("_d"))
         .union(edges.select(F.col(b_col).alias("_s"), F.col(a_col).alias("_d")))
@@ -90,10 +98,100 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            "(pathologically long chain — use large-star/small-star)"
+            "(pathologically long chain — rerun with algorithm='star')"
         )
     und.unpersist()
     return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("cluster_rep"))
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    nb = _sym(e)
+    mins = nb.groupBy("_a").agg(F.min("_b").alias("_mv"))
+    mins = mins.select("_a", F.least("_mv", F.col("_a")).alias("_m"))
+    j = nb.join(mins, "_a")
+    return (
+        j.filter(F.col("_b") > F.col("_a"))
+        .select(F.col("_b").alias("_a"), F.col("_m").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small; connect u and all its smaller neighbors
+    to their minimum."""
+    o = e.select(
+        F.greatest("_a", "_b").alias("_a"), F.least("_a", "_b").alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    mins = o.groupBy("_a").agg(F.min("_b").alias("_m"))
+    out_v = o.join(mins, "_a").select(
+        F.col("_b").alias("_x"), F.col("_m").alias("_y")
+    )
+    out_u = mins.select(F.col("_a").alias("_x"), F.col("_m").alias("_y"))
+    return (
+        out_v.union(out_u)
+        .filter(F.col("_x") != F.col("_y"))
+        .select(F.col("_x").alias("_a"), F.col("_y").alias("_b"))
+        .distinct()
+    )
+
+
+def _edge_sig(e: DataFrame):
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("_a", "_b").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def _star_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str, a_col: str, b_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is a
+    fixpoint (all edges then form stars rooted at component minima) —
+    O(log² n) rounds regardless of chain length; each round is two
+    join+groupBy shuffles.  Fixpoint detection compares (edge count,
+    exact decimal sum of edge hashes) between rounds."""
+    e = (
+        edges.select(
+            F.greatest(F.col(a_col), F.col(b_col)).alias("_a"),
+            F.least(F.col(a_col), F.col(b_col)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_sig(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _edge_sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"star components did not converge in {max_iter} rounds")
+    reps = (
+        _sym(e)
+        .groupBy("_a")
+        .agg(F.min("_b").alias("_m"))
+        .select("_a", F.least("_m", F.col("_a")).alias("_m"))
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(reps, nodes[id_col] == reps["_a"], "left")
+        .select(
+            F.col(id_col),
+            F.least(F.coalesce(F.col("_m"), F.col(id_col)), F.col(id_col)).alias(
+                "cluster_rep"
+            ),
+        )
+    )
 
 
 def cluster_dedup(

@@ -232,3 +232,28 @@ def test_mixture_upsample_copies_and_budget(spark):
     )
     bad = per.filter((F.col("lo") != 0) | (F.col("hi") != F.col("c") - 1)).count()
     assert bad == 0
+
+
+def test_star_components_long_chain(spark):
+    # the case min-label propagation is slow on: a 60-node path — the
+    # star algorithm converges in O(log^2 n) rounds
+    n = 60
+    comp = connected_components(
+        _nodes(spark, range(n)),
+        _edges(spark, [(i, i + 1) for i in range(n - 1)]),
+        algorithm="star",
+        max_iter=15,
+    )
+    assert {r["cluster_rep"] for r in comp.collect()} == {0}
+
+
+def test_star_components_singletons_and_bad_algorithm(spark):
+    comp = connected_components(
+        _nodes(spark, [1, 2, 5]), _edges(spark, [(1, 2)]), algorithm="star"
+    )
+    got = {r["doc_id"]: r["cluster_rep"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 5: 5}
+    with pytest.raises(ValueError):
+        connected_components(
+            _nodes(spark, [1]), _edges(spark, []), algorithm="nope"
+        )
