@@ -200,6 +200,7 @@ def cluster_dedup(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Keep one canonical row per near-dup cluster (the minimum id).
 
@@ -207,7 +208,8 @@ def cluster_dedup(
     SimHash pairs, or verified-Jaccard pairs.  Transitive chains collapse
     in one pass (unlike the one-hop ``dedup.minhash_dedup``)."""
     comp = connected_components(
-        df.select(id_col), pairs, id_col=id_col, a_col=a_col, b_col=b_col
+        df.select(id_col), pairs, id_col=id_col, a_col=a_col, b_col=b_col,
+        algorithm=algorithm,
     )
     keep = comp.filter(F.col(id_col) == F.col("cluster_rep")).select(id_col)
     return df.join(keep, id_col, "left_semi")
