@@ -215,6 +215,38 @@ def main() -> None:
         ),
     ))
 
+    sub = QUERIES["substring_dedup_docs"](spark, "/root/testdata/sf0.01")
+    sub.count()
+    sections.append((
+        "Exact-substring span dedup",
+        "Canonical-occurrence selection is a map-side-combinable "
+        "min(struct) HashAggregate keyed on the gram hash — no per-gram "
+        "window, so a boilerplate gram with millions of occurrences "
+        "reduces in the combiner; the occurrence⋈gram-info join and the "
+        "marked-position anti-join are both hash joins on their keys.",
+        "\n".join(
+            l for l in plan_of(sub).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate", "Generate"))
+        ),
+    ))
+
+    from quality_filter.cluster import _large_star, _small_star
+
+    e0 = edges.select(F.col("a").alias("_a"), F.col("b").alias("_b")).localCheckpoint()
+    star_round = _small_star(_large_star(e0))
+    star_round.count()
+    sections.append((
+        "Star-components round (large-star ∘ small-star)",
+        "One alternating round of the O(log² n) algorithm: two "
+        "join+groupBy pairs, each a hash aggregate + hash join on the "
+        "node id — per-round cost independent of component diameter "
+        "(the escape hatch when a near-dup graph ever grows long chains).",
+        "\n".join(
+            l for l in plan_of(star_round).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate"))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
