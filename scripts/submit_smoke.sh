@@ -12,6 +12,9 @@ pkg = pathlib.Path(repo) / "quality_filter"
 with zipfile.ZipFile(f"{work}/qf.zip", "w") as zf:
     for py in sorted(pkg.glob("*.py")):
         zf.write(py, arcname=f"quality_filter/{py.name}")
+    # package data (prompt templates) — same contents as shipping.ensure_shipped
+    for dat in sorted(pkg.glob("data/**/*.txt")):
+        zf.write(dat, arcname=f"quality_filter/{dat.relative_to(pkg)}")
 PY
 cat > "$WORK/job.py" <<'PY'
 from pyspark.sql import SparkSession
