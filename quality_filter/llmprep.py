@@ -103,11 +103,13 @@ def classify_prompt_expr(lines: Column, language: Column) -> Column:
 
 def load_verbatim_template(name: str) -> str:
     """Read a verbatim template ('classify', 'generate_labels',
-    'synonyms') from the packaged data files."""
-    from pathlib import Path
+    'synonyms') from the packaged data files.  Uses importlib.resources,
+    NOT ``Path(__file__)`` — the latter breaks when the package is
+    imported from a ``--py-files`` zip (zipimport has no real paths)."""
+    from importlib import resources
 
     return (
-        Path(__file__).resolve().parent / "data" / "prompts" / f"{name}.txt"
+        resources.files("quality_filter") / "data" / "prompts" / f"{name}.txt"
     ).read_text()
 
 
