@@ -27,6 +27,18 @@ def ensure_shipped(spark: SparkSession) -> None:
     if getattr(sc, _SHIPPED_KEY, False):
         return
     pkg_dir = Path(__file__).resolve().parent
+    if not pkg_dir.is_dir():
+        # zipimport: __file__ is <archive>.zip/quality_filter/shipping.py —
+        # the glob below would silently build an EMPTY zip.  The archive
+        # the driver imported from IS the shippable artifact; register it.
+        archive = next((p for p in pkg_dir.parents if p.is_file()), None)
+        if archive is not None:
+            sc.addPyFile(str(archive))
+            setattr(sc, _SHIPPED_KEY, True)
+            return
+        raise RuntimeError(
+            "quality_filter package directory not found; cannot ship to executors"
+        )
     zip_path = os.path.join(
         tempfile.gettempdir(), f"quality_filter_pyfiles_{os.getpid()}.zip"
     )

@@ -257,3 +257,40 @@ def test_star_components_singletons_and_bad_algorithm(spark):
         connected_components(
             _nodes(spark, [1]), _edges(spark, []), algorithm="nope"
         )
+
+
+def test_ensure_shipped_from_zipimport_ships_the_archive(tmp_path):
+    # driver importing quality_filter from a --py-files zip must register
+    # THAT archive, not silently build an empty one (globs over a zip
+    # pseudo-path match nothing)
+    import subprocess
+    import sys
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "quality_filter"
+    zp = tmp_path / "qf.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for py in sorted(pkg.glob("*.py")):
+            zf.write(py, arcname=f"quality_filter/{py.name}")
+        for dat in sorted(pkg.glob("data/**/*.txt")):
+            zf.write(dat, arcname=f"quality_filter/{dat.relative_to(pkg)}")
+    code = f"""
+import sys; sys.path.insert(0, {str(zp)!r})
+import quality_filter.shipping as sh
+class FakeSC:
+    def __init__(self): self.added = []
+    def addPyFile(self, p): self.added.append(p)
+class FakeSpark:
+    sparkContext = FakeSC()
+sh.ensure_shipped(FakeSpark)
+assert FakeSpark.sparkContext.added == [{str(zp)!r}], FakeSpark.sparkContext.added
+# template data loads from the zip too
+from quality_filter.llmprep import load_verbatim_template
+assert len(load_verbatim_template('classify')) > 100
+print('OK')
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-800:]
