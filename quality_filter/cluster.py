@@ -273,3 +273,49 @@ def decontaminate(
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    substring_k: int | None = None,
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """The staged corpus-dedup composition a 100 TB run uses, in order:
+
+    1. EXACT dedup first (``dedup.exact_dedup``, hash-groupBy).  This is
+       the skew defuser, not just a cheap win: a document duplicated k
+       times would otherwise reach LSH banding k times and emit O(k²)
+       candidate pairs per band bucket — exact-first collapses those k
+       copies to one representative so near-dup candidate volume scales
+       with band-bucket occupancy of DISTINCT texts.
+    2. MinHash+LSH near-dup pairs over the survivors → connected
+       components → one canonical doc per cluster (``cluster_dedup``;
+       ``algorithm='star'`` for pathological chain graphs).
+    3. Optionally (``substring_k``) exact-substring span dedup over the
+       survivors (``dedup.substring_dedup``) — removes repeated
+       boilerplate PASSAGES inside otherwise-unique documents; returns
+       column ``clean_text`` alongside the original.
+
+    Returns the surviving rows (with ``clean_text``/``n_removed`` when
+    stage 3 ran)."""
+    from quality_filter.dedup import (
+        exact_dedup,
+        lsh_candidates,
+        minhash_jaccard,
+        minhash_signatures,
+        substring_dedup,
+    )
+
+    uniq = exact_dedup(df, id_col, text_col)
+    sig = minhash_signatures(uniq, id_col, text_col)
+    pairs = minhash_jaccard(sig, lsh_candidates(sig, id_col), id_col).filter(
+        F.col("est_jaccard") >= jaccard_threshold
+    )
+    kept = cluster_dedup(uniq, pairs, id_col=id_col, algorithm=algorithm)
+    if substring_k is None:
+        return kept
+    spans = substring_dedup(kept, id_col, text_col, k=substring_k)
+    return kept.join(spans, id_col)

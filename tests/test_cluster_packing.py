@@ -294,3 +294,26 @@ print('OK')
         [sys.executable, "-c", code], capture_output=True, text=True, cwd="/tmp"
     )
     assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-800:]
+
+
+def test_dedup_pipeline_stages(spark):
+    from quality_filter.cluster import dedup_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    boiler = "subscribe to our newsletter for more updates every single day"
+    rows = [
+        (1, base),
+        (2, base),           # exact dup of 1 -> dropped in stage 1
+        (3, near),           # near dup of 1 -> clustered out in stage 2
+        (4, f"completely distinct article about alpine glaciers and meltwater {boiler}"),
+        (5, f"tutorial covering sourdough starters hydration ratios and ovens {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = dedup_pipeline(df, jaccard_threshold=0.5, substring_k=5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 4, 5}
+    assert got[1]["n_removed"] == 0
+    # the shared boilerplate span survives only in its first occurrence
+    assert boiler in got[4]["clean_text"]
+    assert boiler not in got[5]["clean_text"]
