@@ -29,10 +29,16 @@ need it, so we keep the simpler propagation and bound it with
 
 Lineage is cut every iteration with ``localCheckpoint`` — without it the
 plan doubles per round and the driver OOMs on plan strings long before
-the data is big.  Convergence is detected with a one-row aggregate of
-``sum(label)``: labels only ever decrease, so the sum strictly decreases
-iff any label changed (computed as decimal(38,0) so 10^12 x 64-bit ids
-cannot overflow).
+the data is big.  Convergence is detected with a one-row TYPE-GENERIC
+signature aggregate: ``(count, sum(xxhash64(vertex, label)) as
+decimal(38,0))``.  Min-propagation is monotone (labels only move down
+the column's ordering), so the label assignment is a fixpoint iff no
+label changed, and an unchanged assignment keeps the signature equal; a
+changed assignment collides with the previous signature only if the
+xxhash64 sums coincide (~2^-64 per round — the same construction the
+star variant's edge fixpoint check uses).  This works for string ids
+too, where the previous decimal-cast-sum approach returned NULL and
+silently stopped after one round.
 """
 
 from __future__ import annotations
@@ -67,41 +73,55 @@ def connected_components(
         return _star_components(nodes, edges, id_col, a_col, b_col, max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
+    from pyspark import StorageLevel
+
     und = (
         edges.select(F.col(a_col).alias("_s"), F.col(b_col).alias("_d"))
         .union(edges.select(F.col(b_col).alias("_s"), F.col(a_col).alias("_d")))
         .distinct()
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
-    ).localCheckpoint()
-    total = labels.agg(
-        F.sum(F.col("_lbl").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    for _ in range(max_iter):
-        msgs = und.join(labels, und["_s"] == labels["_v"]).select(
-            F.col("_d").alias("_v"), F.col("_lbl")
-        )
-        labels = (
-            labels.union(msgs)
-            .groupBy("_v")
-            .agg(F.min("_lbl").alias("_lbl"))
-            .localCheckpoint()
-        )
-        new_total = labels.agg(
-            F.sum(F.col("_lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if new_total == total:
-            break
-        total = new_total
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            "(pathologically long chain — rerun with algorithm='star')"
-        )
-    und.unpersist()
+    try:
+        labels = nodes.select(
+            F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
+        ).localCheckpoint()
+        sig = _label_sig(labels)
+        for _ in range(max_iter):
+            msgs = und.join(labels, und["_s"] == labels["_v"]).select(
+                F.col("_d").alias("_v"), F.col("_lbl")
+            )
+            labels = (
+                labels.union(msgs)
+                .groupBy("_v")
+                .agg(F.min("_lbl").alias("_lbl"))
+                .localCheckpoint()
+            )
+            new_sig = _label_sig(labels)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations "
+                "(pathologically long chain — rerun with algorithm='star')"
+            )
+    finally:
+        # unpersist on every exit path — a non-convergence RuntimeError (or
+        # any mid-loop failure) must not leak the cached edge DataFrame for
+        # the session's lifetime
+        und.unpersist()
     return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("cluster_rep"))
+
+
+def _label_sig(labels: DataFrame):
+    """Type-generic one-row fixpoint signature of a (_v, _lbl) assignment:
+    (row count, exact decimal sum of per-row xxhash64) — works for any
+    id type (numeric, string, binary), unlike a numeric cast-sum."""
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("_v", "_lbl").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
 
 
 def _sym(e: DataFrame) -> DataFrame:
@@ -282,6 +302,7 @@ def dedup_pipeline(
     jaccard_threshold: float = 0.8,
     substring_k: int | None = None,
     algorithm: str = "propagation",
+    verify_exact: bool = False,
 ) -> DataFrame:
     """The staged corpus-dedup composition a 100 TB run uses, in order:
 
@@ -293,7 +314,14 @@ def dedup_pipeline(
        with band-bucket occupancy of DISTINCT texts.
     2. MinHash+LSH near-dup pairs over the survivors → connected
        components → one canonical doc per cluster (``cluster_dedup``;
-       ``algorithm='star'`` for pathological chain graphs).
+       ``algorithm='star'`` for pathological chain graphs).  With
+       ``verify_exact=True`` the estimated-Jaccard survivors are
+       re-checked against the TRUE shingle-set Jaccard
+       (``dedup.exact_jaccard_for_pairs``) before any edge links a
+       cluster — 16-hash signatures quantize Jaccard to 1/16 steps, so
+       borderline false positives (est ≥ t, true < t) otherwise merge
+       unrelated documents; the verify join touches only candidate-pair
+       docs, never the corpus.
     3. Optionally (``substring_k``) exact-substring span dedup over the
        survivors (``dedup.substring_dedup``) — removes repeated
        boilerplate PASSAGES inside otherwise-unique documents; returns
@@ -303,6 +331,7 @@ def dedup_pipeline(
     stage 3 ran)."""
     from quality_filter.dedup import (
         exact_dedup,
+        exact_jaccard_for_pairs,
         lsh_candidates,
         minhash_jaccard,
         minhash_signatures,
@@ -314,6 +343,10 @@ def dedup_pipeline(
     pairs = minhash_jaccard(sig, lsh_candidates(sig, id_col), id_col).filter(
         F.col("est_jaccard") >= jaccard_threshold
     )
+    if verify_exact:
+        pairs = exact_jaccard_for_pairs(
+            uniq, pairs.select("a", "b"), id_col, text_col
+        ).filter(F.col("jaccard") >= jaccard_threshold)
     kept = cluster_dedup(uniq, pairs, id_col=id_col, algorithm=algorithm)
     if substring_k is None:
         return kept

@@ -178,6 +178,65 @@ def minhash_jaccard(sig: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return j.select("a", "b", (agree / F.lit(float(n_hashes))).alias("est_jaccard"))
 
 
+def exact_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """TRUE shingle-set Jaccard for a given candidate pair list (a, b) —
+    the verify layer between LSH candidates and clustering: 16-hash
+    MinHash estimates have ±0.125 granularity, so precision-critical runs
+    re-check candidates against the exact statistic before linking.
+
+    Scale: only docs that appear in some pair are shingled (semi-join
+    first — the pair set is near-dup-sized, orders of magnitude smaller
+    than the corpus); the intersection count joins pair×shingle streams
+    on (doc, shingle) equi-keys — volume is Σ|shingles(a)| over pairs,
+    never corpus-quadratic.
+
+    Returns (a, b, jaccard) for every input pair (0.0 when disjoint)."""
+    ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("a"), "sh")
+    sb = sh.select(F.col(id_col).alias("b"), "sh")
+    common = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
+    j = (
+        pairs.join(common, ["a", "b"], "left")
+        .join(na, "a")
+        .join(nb, "b")
+        .withColumn("_nc", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    union_n = F.col("n_a") + F.col("n_b") - F.col("_nc")
+    return j.select(
+        "a",
+        "b",
+        F.when(union_n > 0, F.col("_nc").cast("double") / union_n)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -631,15 +631,19 @@ def q_repetition_stats(spark, sf_dir):
 
 @_register(
     "stratified_split",
-    "SELECT o_orderkey, CASE WHEN (o_orderkey*2654435761) % 1000 < 700 THEN 'train' "
-    "WHEN (o_orderkey*2654435761) % 1000 < 850 THEN 'val' ELSE 'test' END AS split "
+    "SELECT o_orderkey, CASE WHEN (CAST(o_orderkey AS HUGEINT)*2654435761) % 1000 < 700 THEN 'train' "
+    "WHEN (CAST(o_orderkey AS HUGEINT)*2654435761) % 1000 < 850 THEN 'val' ELSE 'test' END AS split "
     "FROM orders",
 )
 def q_stratified_split(spark, sf_dir):
     """R2: deterministic 70/15/15 split via integer mixing (scale-safe
-    replacement for train_test_split, src/prep_data_for_training.py:62-120)."""
+    replacement for train_test_split, src/prep_data_for_training.py:62-120).
+    The mix runs overflow-free (decimal / HUGEINT) on both sides — bigint
+    would wrap for keys ≥ ~3.47e9 (sampling.deterministic_bucket)."""
+    from quality_filter.sampling import deterministic_bucket
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    bucket = (F.col("o_orderkey") * 2654435761) % 1000
+    bucket = deterministic_bucket("o_orderkey")
     return orders.select(
         "o_orderkey",
         F.when(bucket < 700, "train")
@@ -960,12 +964,16 @@ def q_union_distinct_users(spark, sf_dir):
 
 @_register(
     "shard_events",
-    "SELECT event_id, user_id FROM events WHERE (event_id * 2654435761) % 5 = 0",
+    "SELECT event_id, user_id FROM events "
+    "WHERE (CAST(event_id AS HUGEINT) * 2654435761) % 5 = 0",
 )
 def q_shard_events(spark, sf_dir):
-    """R5: deterministic 1-of-5 shard via integer mixing."""
+    """R5: deterministic 1-of-5 shard via integer mixing (overflow-free
+    decimal/HUGEINT on both sides — see sampling.deterministic_bucket)."""
+    from quality_filter.sampling import deterministic_bucket
+
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return events.filter((F.col("event_id") * 2654435761) % 5 == 0).select(
+    return events.filter(deterministic_bucket("event_id", 5) == 0).select(
         "event_id", "user_id"
     )
 
@@ -1797,10 +1805,10 @@ def q_substring_dedup_docs(spark, sf_dir):
     "tot AS (SELECT count(*) AS t FROM documents), "
     "w(source, wpm) AS (VALUES ('src0', 400), ('src1', 300), ('src2', 200), ('src3', 100)), "
     "rates AS (SELECT c.source,"
-    " least(1000, (t.t * 100 * w.wpm) // (1000 * c.n)) AS thr"
+    " least(1000, (CAST(t.t AS HUGEINT) * 100 * w.wpm) // (1000 * c.n)) AS thr"
     " FROM counts c JOIN w USING (source) CROSS JOIN tot t) "
     "SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)"
-    " WHERE (d.doc_id * 2654435761) % 1000 < r.thr",
+    " WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 1000 < r.thr",
 )
 def q_mixture_resample_docs(spark, sf_dir):
     """Domain-mixture resampling (The Pile-style source rebalancing):
@@ -1827,13 +1835,13 @@ def q_mixture_resample_docs(spark, sf_dir):
     "tot AS (SELECT count(*) AS t FROM documents), "
     "w(source, wpm) AS (VALUES ('src0', 730), ('src1', 270)), "
     "rates AS (SELECT c.source,"
-    " ((t.t * 500 * w.wpm) // 1000000) // c.n AS base,"
-    " (1000 * (((t.t * 500 * w.wpm) // 1000000) % c.n)) // c.n AS fthr"
+    " ((CAST(t.t AS HUGEINT) * 500 * w.wpm) // 1000000) // c.n AS base,"
+    " (1000 * (((CAST(t.t AS HUGEINT) * 500 * w.wpm) // 1000000) % c.n)) // c.n AS fthr"
     " FROM counts c JOIN w USING (source) CROSS JOIN tot t) "
     "SELECT d.doc_id, d.source, u.j AS copy_idx "
     "FROM documents d JOIN rates r USING (source), "
-    "unnest(range(0, r.base + CASE WHEN (d.doc_id * 2654435761) % 1000 < r.fthr"
-    " THEN 1 ELSE 0 END)) AS u(j)",
+    "unnest(range(0, CAST(r.base + CASE WHEN (CAST(d.doc_id AS HUGEINT) * 2654435761) % 1000 < r.fthr"
+    " THEN 1 ELSE 0 END AS BIGINT))) AS u(j)",
 )
 def q_mixture_upsample_docs(spark, sf_dir):
     """Multi-epoch domain upsampling: src0/src1 repeated to a 73/27
@@ -1872,6 +1880,54 @@ def q_top_quality_docs(spark, sf_dir):
     return select_top_quality(_docs(spark, sf_dir), frac=0.25).select(
         "doc_id", "quality_score"
     )
+
+
+def _eval_report_sql() -> str:
+    arr = ", ".join(f"'{l}'" for l in LABELS[1:])
+    pred = (
+        "(CASE WHEN clean_score >= 0.5 THEN 'Clean' "
+        f"ELSE [{arr}][CAST((doc_id*13 + turn_idx*5) % 8 AS INT) + 1] END)"
+    )
+    return _with_turns(
+        f", pairs AS (SELECT label, {pred} AS prediction FROM scored), "
+        "cm AS (SELECT label, prediction, count(*) AS n FROM pairs GROUP BY 1, 2), "
+        "pt AS (SELECT label AS class, CAST(SUM(n) AS BIGINT) AS support,"
+        " CAST(SUM(CASE WHEN prediction = label THEN n ELSE 0 END) AS BIGINT) AS tp"
+        " FROM cm GROUP BY 1), "
+        "pp AS (SELECT prediction AS class, CAST(SUM(n) AS BIGINT) AS predicted"
+        " FROM cm GROUP BY 1), "
+        "j AS (SELECT COALESCE(pt.class, pp.class) AS class,"
+        " COALESCE(support, 0) AS support, COALESCE(predicted, 0) AS predicted,"
+        " COALESCE(tp, 0) AS tp FROM pt FULL OUTER JOIN pp ON pt.class = pp.class), "
+        'r AS (SELECT class, support, predicted, tp,'
+        ' CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE)/predicted ELSE 0.0 END AS "precision",'
+        ' CASE WHEN support > 0 THEN CAST(tp AS DOUBLE)/support ELSE 0.0 END AS "recall" FROM j) '
+        'SELECT class, support, predicted, tp, "precision", "recall",'
+        ' CASE WHEN "precision" + "recall" > 0'
+        ' THEN 2.0*"precision"*"recall"/("precision" + "recall") ELSE 0.0 END AS f1 FROM r'
+    )
+
+
+@_register("eval_report", _eval_report_sql())
+def q_eval_report(spark, sf_dir):
+    """Training-eval report (src/train_classifier.py:56-96): per-class
+    support / predicted / tp / precision / recall / F1 over (label,
+    prediction) pairs.  Truth = the synthetic rule label; prediction = a
+    deterministic score-threshold classifier (Clean iff clean_score ≥
+    0.5, else an arithmetic non-Clean label) so the confusion matrix has
+    real off-diagonal mass.  One map-side-combinable groupBy over
+    |classes|² rows — corpus-size-independent (evalreport.eval_report)."""
+    from quality_filter.evalreport import eval_report
+
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    pred = F.when(F.col("clean_score") >= 0.5, F.lit("Clean")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(l) for l in LABELS[1:]]),
+            ((F.col("doc_id") * 13 + F.col("turn_idx") * 5) % 8).cast("int") + 1,
+        )
+    )
+    pairs = t.withColumn("prediction", pred)
+    return eval_report(pairs, label_col="label", pred_col="prediction")
 
 
 @_register(

@@ -1,0 +1,93 @@
+"""Training-eval report operators: per-class precision / recall / F1 +
+confusion matrix as DataFrame aggregates — the distributed re-expression
+of the reference's sklearn eval step (``src/train_classifier.py:56-96``:
+``classification_report`` + ``confusion_matrix`` over (label, prediction)
+pairs; accuracy/P/R/F1 logged at ``:69-77``).
+
+Scale design: everything reduces through ONE map-side-combinable
+``groupBy(label, prediction).count()`` — the confusion matrix is at most
+|classes|² rows regardless of corpus size, and the per-class report is
+plain arithmetic over that tiny table (full-outer-joined on class so
+never-predicted and never-true classes both appear with zero counts).
+No window, no collect, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """Confusion counts: one row per observed (label, prediction) pair
+    (``sklearn.confusion_matrix`` in long form,
+    ``src/train_classifier.py:93-96``)."""
+    return df.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("prediction")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def eval_report(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """Per-class eval report over (label, prediction) rows: support (true
+    count), predicted count, true positives, precision, recall, F1 —
+    ``sklearn.classification_report`` as a DataFrame
+    (``src/train_classifier.py:56-91``).
+
+    Division guards are explicit CASE logic (0.0 when the denominator is
+    zero) so the values are engine-portable — Spark ANSI mode and DuckDB
+    disagree on x/0 otherwise."""
+    cm = confusion_matrix(df, label_col, pred_col)
+    per_true = cm.groupBy(F.col("label").alias("class")).agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("prediction") == F.col("label"), F.col("n")).otherwise(0)).alias("tp"),
+    )
+    per_pred = cm.groupBy(F.col("prediction").alias("class")).agg(
+        F.sum("n").alias("predicted")
+    )
+    j = per_true.join(per_pred, "class", "full_outer").select(
+        "class",
+        F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+        F.coalesce(F.col("predicted"), F.lit(0)).alias("predicted"),
+        F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+    )
+    precision = F.when(
+        F.col("predicted") > 0, F.col("tp").cast("double") / F.col("predicted")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("support") > 0, F.col("tp").cast("double") / F.col("support")
+    ).otherwise(F.lit(0.0))
+    out = j.select(
+        "class",
+        "support",
+        "predicted",
+        "tp",
+        precision.alias("precision"),
+        recall.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2.0 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("f1", f1)
+
+
+def eval_summary(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """One-row accuracy + macro-averaged P/R/F1 (the summary block of
+    ``classification_report``; accuracy at ``src/train_classifier.py:69``).
+    Macro = unweighted mean over classes that appear as TRUE labels
+    (sklearn convention: classes only ever predicted contribute to their
+    own row but not to the macro average)."""
+    rep = eval_report(df, label_col, pred_col).filter(F.col("support") > 0)
+    return rep.agg(
+        (F.sum("tp").cast("double") / F.sum("support")).alias("accuracy"),
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+    )

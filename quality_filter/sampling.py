@@ -18,10 +18,53 @@ from pyspark.sql import functions as F
 
 _MIX = 2654435761  # Knuth multiplicative hash constant
 
+# Distinct-value ceiling for the driver-side collects below (domain /
+# label vocabularies).  These operators assume a BOUNDED vocabulary —
+# mixture domains are data sources (dozens), labels are the fixed
+# 9-label taxonomy; the guard turns an unbounded-cardinality misuse into
+# a loud error instead of an unbounded driver pull.
+MAX_DRIVER_CARDINALITY = 100_000
+
 
 def deterministic_bucket(key, buckets: int = 1000):
-    """Arithmetic mixing → [0, buckets); key must be integral."""
-    return (F.col(key) if isinstance(key, str) else key) * _MIX % buckets
+    """Arithmetic mixing → [0, buckets); key must be integral.
+
+    The multiply runs in decimal(38,0): ``bigint`` arithmetic would
+    overflow for keys ≥ ~3.47e9 (2^63 / 2654435761) and Spark's ``%``
+    keeps the dividend's sign, so overflowed-negative products would
+    satisfy any ``< thr`` comparison — silently keeping every such row.
+    Decimal keeps the product exact up to 10^38 (key ≤ ~9.2e18 × the
+    constant ≈ 2.4e28), and ``pmod`` pins the result to [0, buckets)
+    for negative keys too.  Oracle-SQL mirror: DuckDB computes the same
+    value with a HUGEINT (int128) cast —
+    ``pmod(CAST(key AS HUGEINT) * 2654435761, buckets)``."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.pmod(k.cast("decimal(38,0)") * F.lit(_MIX), F.lit(buckets)).cast(
+        "bigint"
+    )
+
+
+def bucket_sql(key: str, buckets: int = 1000) -> str:
+    """DuckDB mirror of ``deterministic_bucket`` (same values, HUGEINT
+    instead of decimal for the overflow-free multiply)."""
+    return (
+        f"((CAST({key} AS HUGEINT) * {_MIX}) % {buckets}"
+        f" + {buckets}) % {buckets}"
+    )
+
+
+def _bounded_collect(df: DataFrame, what: str) -> list:
+    """Collect a small aggregate to the driver with a cardinality guard
+    (legitimate control-flow pull — thresholds, vocabularies — never
+    data)."""
+    rows = df.limit(MAX_DRIVER_CARDINALITY + 1).collect()
+    if len(rows) > MAX_DRIVER_CARDINALITY:
+        raise ValueError(
+            f"{what} exceeds {MAX_DRIVER_CARDINALITY} distinct values — "
+            "this operator assumes a bounded vocabulary (data sources / "
+            "label taxonomy); use a join-based formulation for unbounded keys"
+        )
+    return rows
 
 
 def deterministic_split(
@@ -54,7 +97,12 @@ def downsample_label(
 ) -> DataFrame:
     """R3: keep ``fraction`` of rows with ``label``, all others
     (``src/prep_data_for_training.py:123-128``)."""
-    labels = [r[label_col] for r in df.select(label_col).distinct().collect()]
+    labels = [
+        r[label_col]
+        for r in _bounded_collect(
+            df.select(label_col).distinct(), f"label column {label_col!r}"
+        )
+    ]
     fractions = {l: (fraction if l == label else 1.0) for l in labels}
     return df.sampleBy(label_col, fractions, seed)
 
@@ -63,8 +111,15 @@ def stratified_split_sampled(
     df: DataFrame, label_col: str, train: float = 0.7, val: float = 0.15, seed: int = 42
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """R2 sampled variant: per-label fractions via sampleBy, remainder by
-    anti-join on a row fingerprint."""
-    labels = [r[label_col] for r in df.select(label_col).distinct().collect()]
+    anti-join on a row fingerprint.  Label vocabulary must be bounded
+    (≤ ``MAX_DRIVER_CARDINALITY``) — the per-label fraction map is driver
+    state by construction (``sampleBy`` takes a dict)."""
+    labels = [
+        r[label_col]
+        for r in _bounded_collect(
+            df.select(label_col).distinct(), f"label column {label_col!r}"
+        )
+    ]
     key = F.xxhash64(*[F.col(c) for c in df.columns])
     with_key = df.withColumn("_k", key)
     tr = with_key.sampleBy(label_col, {l: train for l in labels}, seed)
@@ -107,33 +162,37 @@ def mixture_resample(
     all — deterministic selection cannot oversample; upsampling is a
     repeat-explode concern, not a filter).
 
-    Scale: one map-side-combinable count aggregate over the corpus, the
-    per-domain thresholds come back via a BROADCAST join (|domains| rows),
-    then a narrow filter — no corpus shuffle."""
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
-    total = df.count()
-    wmap = F.create_map(
-        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
+    Scale: ONE map-side-combinable count aggregate over the corpus (the
+    total is the sum of the per-domain counts — no second corpus scan);
+    the per-domain rows come back to the driver (bounded — domains are
+    data sources, guarded by ``MAX_DRIVER_CARDINALITY``), thresholds are
+    computed with exact arbitrary-precision Python integers (no wrap at
+    any corpus size), and selection is a broadcast join + narrow filter —
+    no corpus shuffle."""
+    counts, total = _domain_counts(df, domain_col)
+    rates = [
+        (d, min(1000, (total * budget_pm * int(weights[d])) // (1000 * n)))
+        for d, n in sorted(counts.items())
+        if d in weights
+    ]
+    rates_df = df.sparkSession.createDataFrame(
+        rates, f"{domain_col} string, _thr bigint"
     )
-    # integer division via decimal (exact at any corpus size; float floor
-    # would drift past 2^53).  Unmapped domains must drop BEFORE the
-    # least(): Spark's least() skips NULL arguments, so a NULL weight
-    # would otherwise saturate to threshold 1000 (keep-all).
-    mapped = counts.filter(wmap[F.col(domain_col)].isNotNull())
-    num = (F.lit(total) * F.lit(budget_pm) * wmap[F.col(domain_col)]).cast(
-        "decimal(38,0)"
-    )
-    den = (F.lit(1000) * F.col("_n")).cast("decimal(38,0)")
-    thr = F.least(
-        F.lit(1000).cast("bigint"),
-        F.floor(num / den).cast("bigint"),
-    )
-    rates = mapped.select(domain_col, thr.alias("_thr"))
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(F.broadcast(rates_df), domain_col)
         .filter(deterministic_bucket(key) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def _domain_counts(df: DataFrame, domain_col: str) -> tuple[dict, int]:
+    """Per-domain row counts + corpus total from a single aggregate pass."""
+    rows = _bounded_collect(
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n")),
+        f"domain column {domain_col!r}",
+    )
+    counts = {r[domain_col]: r["_n"] for r in rows}
+    return counts, sum(counts.values())
 
 
 def mixture_upsample(
@@ -154,36 +213,26 @@ def mixture_upsample(
 
     Rows in domains with target < N_d get copies 0 or 1 by the same rule
     (base 0 + fractional) — i.e. downsampling falls out as base_copies=0.
-    Scale: count aggregate + broadcast join + one explode of
-    ``sequence(1, copies)``; output volume = requested budget, shuffles
-    nowhere."""
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
-    total = df.count()
-    wmap = F.create_map(
-        *[x for k, v in sorted(weights.items()) for x in (F.lit(k), F.lit(int(v)))]
-    )
-    mapped = counts.filter(wmap[F.col(domain_col)].isNotNull())
-    target = F.floor(
-        (F.lit(total) * F.lit(budget_pm) * wmap[F.col(domain_col)]).cast(
-            "decimal(38,0)"
-        )
-        / F.lit(1000000).cast("decimal(38,0)")
-    ).cast("bigint")
-    base = F.floor(target.cast("decimal(38,0)") / F.col("_n").cast("decimal(38,0)"))
-    rem = target - base * F.col("_n")
-    frac_thr = F.floor(
-        (F.lit(1000) * rem).cast("decimal(38,0)") / F.col("_n").cast("decimal(38,0)")
-    )
-    rates = mapped.select(
-        domain_col,
-        base.cast("bigint").alias("_base"),
-        frac_thr.cast("bigint").alias("_fthr"),
+    Scale: ONE count aggregate (total = sum of per-domain counts, no
+    second corpus scan; targets computed with exact Python integers) +
+    broadcast join + one explode of ``sequence(1, copies)``; output
+    volume = requested budget, shuffles nowhere."""
+    counts, total = _domain_counts(df, domain_col)
+    rates = []
+    for d, n in sorted(counts.items()):
+        if d not in weights:
+            continue
+        target = (total * budget_pm * int(weights[d])) // 1_000_000
+        base = target // n
+        rates.append((d, base, (1000 * (target - base * n)) // n))
+    rates_df = df.sparkSession.createDataFrame(
+        rates, f"{domain_col} string, _base bigint, _fthr bigint"
     )
     copies = F.col("_base") + F.when(
         deterministic_bucket(key) < F.col("_fthr"), 1
     ).otherwise(0)
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(F.broadcast(rates_df), domain_col)
         .withColumn("_copies", copies)
         .filter(F.col("_copies") > 0)
         .withColumn(

@@ -327,10 +327,14 @@ def stream_dedup(
     watermark passes, so memory is bounded by the dup horizon, not the
     stream length; the batch-side analog is ``dedup.exact_dedup``).
 
-    Keyed on (conv_id, fingerprint): duplicate REPLAYS of a turn are
-    dropped while legitimately repeated text across conversations
-    survives.  Exactly-once per input file via the checkpoint, like the
-    other streaming entry points."""
+    Keyed on (conv_id, turn_idx, fingerprint): a REPLAY re-delivers the
+    same record — same turn_idx, same text — and is dropped; a genuinely
+    repeated turn inside one conversation (the user saying "yes" twice)
+    carries a NEW turn_idx and survives, as does legitimately repeated
+    text across conversations.  (Keying on (conv_id, fingerprint) alone
+    would silently swallow in-conversation repeats as "replays".)
+    Exactly-once per input file via the checkpoint, like the other
+    streaming entry points."""
     from quality_filter.dedup import normalized_text
 
     src = _source(spark, input_dir, fmt)
@@ -340,7 +344,7 @@ def stream_dedup(
     out = (
         src.withColumn("_fp", fp)
         .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "_fp"])
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "_fp"])
         .drop("_fp")
     )
     q = (

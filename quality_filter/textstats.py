@@ -153,7 +153,7 @@ def fingerprint_md5_sql(t: str) -> str:
 
 def select_top_quality(
     df: DataFrame, frac: float = 0.25, text_col: str = "text",
-    exact: bool = True,
+    exact: bool = True, materialize: bool = True,
 ) -> DataFrame:
     """Quality-threshold selection (FineWeb-style): keep the documents
     whose heuristic quality score sits in the top ``frac`` of the corpus
@@ -167,11 +167,23 @@ def select_top_quality(
     memory, rank error ~1e-4) — the threshold then drifts within sketch
     tolerance but the plan shape is identical.
 
+    A percentile cutoff inherently needs two passes over the scored rows
+    (one to find the threshold, one to filter).  ``materialize=True``
+    (default) caches the scored table between them via ``localCheckpoint``
+    — executor-storage-backed (MEMORY_AND_DISK), lineage-cut, and freed
+    by the ContextCleaner when the returned DataFrame is garbage
+    collected (no manual unpersist contract) — so the upstream scan and
+    the score expression run ONCE.  Pass ``materialize=False`` when the
+    input is a cheap re-scannable source and executor storage is tighter
+    than a second scan (the score recomputes on the filter pass).
+
     Returns the kept rows with a ``quality_score`` column."""
     q = 1.0 - frac
     scored = df.withColumn(
         "quality_score", quality_score_expr(F.coalesce(F.col(text_col), F.lit("")))
     )
+    if materialize:
+        scored = scored.localCheckpoint(eager=True)
     fn = F.percentile if exact else F.approx_percentile
     args = (F.col("quality_score"), F.lit(q)) if exact else (
         F.col("quality_score"), F.lit(q), F.lit(10000)

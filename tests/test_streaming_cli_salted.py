@@ -265,23 +265,30 @@ def test_stream_dedup_drops_replays_keeps_cross_conv(spark, tmpdir):
     from quality_filter.streaming import stream_dedup
 
     base = synth_transcripts(spark, n_convs=10, seed=3)
-    # replay 5 turns verbatim (same conv, same text -> dropped) and plant
-    # one cross-conversation repeat (other conv, same text -> kept)
+    # replay 5 turns verbatim (same conv, same turn_idx, same text ->
+    # dropped), plant one cross-conversation repeat (other conv, same
+    # text -> kept), and one GENUINE in-conversation repeat (same conv,
+    # same text, NEW turn_idx -> kept: the user really said it twice)
     replay = base.limit(5)
     first = base.limit(1)
     cross = first.withColumn("conv_id", F.concat(F.lit("x_"), F.col("conv_id")))
-    base.unionByName(replay).unionByName(cross).write.mode("append").parquet(inp)
+    genuine = first.withColumn("turn_idx", F.col("turn_idx") + 1000)
+    base.unionByName(replay).unionByName(cross).unionByName(genuine).write.mode(
+        "append"
+    ).parquet(inp)
 
     stream_dedup(spark, inp, outp, ckpt)
     out = spark.read.parquet(outp)
-    # distinct (conv_id, normalized text) pairs survive exactly once —
-    # the dedup key normalizes like dedup.exact_dedup does
+    # distinct (conv_id, turn_idx, normalized text) triples survive exactly
+    # once — the dedup key normalizes like dedup.exact_dedup does
     from quality_filter.dedup import normalized_text
 
     want = (
         base.unionByName(cross)
+        .unionByName(genuine)
         .select(
             "conv_id",
+            "turn_idx",
             normalized_text(F.coalesce(F.col("text"), F.lit(""))).alias("nt"),
         )
         .distinct()
@@ -289,6 +296,15 @@ def test_stream_dedup_drops_replays_keeps_cross_conv(spark, tmpdir):
     )
     assert out.count() == want
     assert out.filter(F.col("conv_id").startswith("x_")).count() == 1
+    # the genuine repeat survived alongside the original turn
+    gen = genuine.select("conv_id", "turn_idx").first()
+    assert (
+        out.filter(
+            (F.col("conv_id") == gen["conv_id"])
+            & (F.col("turn_idx").isin(gen["turn_idx"], gen["turn_idx"] - 1000))
+        ).count()
+        == 2
+    )
     # second run with no new files processes nothing (checkpoint)
     stream_dedup(spark, inp, outp, ckpt)
     assert spark.read.parquet(outp).count() == want
