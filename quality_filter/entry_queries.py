@@ -1908,6 +1908,95 @@ def _eval_report_sql() -> str:
     )
 
 
+_MM_RESIDUES = 6
+
+
+def _mm_payload(i: int):
+    """Frozen deterministic media payload for residue class ``i``: cycles
+    real decodable formats (binary PPM, zlib PNG RGB/RGBA, PCM WAV) so the
+    stdlib codec paths — PPM header parse, PNG filter reversal, WAV frame
+    read — are all exercised by the driver row."""
+    from quality_filter import multimodal as MM
+
+    variant = i % 3
+    if variant == 0:
+        return "image", MM._synth_ppm(i)
+    if variant == 1:
+        return "image", MM._synth_png(i, rgba=(i % 2 == 0))
+    return "audio", MM._synth_wav(i)
+
+
+def _multimodal_sql() -> str:
+    """Value-exact multimodal oracle: payloads are a pure function of
+    doc_id % 6, so the expected feature values of every residue class are
+    computed ONCE driver-side with the same decode+featurize code the
+    mapInPandas operator runs, and stated as literals — hash-exact on
+    actual decoded-content features (mirrors _ppl_expected_sql)."""
+    from quality_filter import multimodal as MM
+
+    picks = {"f0": 0, "f1": 1, "f2": 2, "f8": 8}
+    arms: dict[str, list[float]] = {c: [] for c in picks}
+    for i in range(_MM_RESIDUES):
+        modality, payload = _mm_payload(i)
+        v = MM._real_features(modality, MM.real_decode(modality, payload))
+        for c, idx in picks.items():
+            arms[c].append(float(v[idx]))
+    exprs = ", ".join(
+        "CAST(CASE CAST(doc_id % {m} AS INT) {cases} END AS DOUBLE) AS {c}".format(
+            m=_MM_RESIDUES,
+            cases=" ".join(
+                f"WHEN {r} THEN {val!r}" for r, val in enumerate(arms[c])
+            ),
+            c=c,
+        )
+        for c in picks
+    )
+    return f"SELECT doc_id, {exprs} FROM documents"
+
+
+@_register("multimodal_features", _multimodal_sql())
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction, oracle-bound: synthesize REAL
+    decodable payloads (PPM / PNG / WAV, frozen per doc_id residue) in an
+    Arrow-batched step, decode + featurize them through the production
+    ``extract_features(use_real_codec=True)`` mapInPandas path, and emit
+    four feature components whose values the oracle states literally —
+    any drift in the PPM/PNG/WAV decoders, the featurizer, or the
+    binary→Arrow→numpy plumbing breaks the hash."""
+    import pandas as pd
+
+    from quality_filter.multimodal import extract_features
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    ids = _docs(spark, sf_dir).select("doc_id")
+    media_schema = "doc_id long, modality string, payload binary"
+
+    def synth(batches):
+        from quality_filter.entry_queries import _mm_payload
+
+        for pdf in batches:
+            mods, payloads = [], []
+            for d in pdf["doc_id"]:
+                modality, payload = _mm_payload(int(d) % _MM_RESIDUES)
+                mods.append(modality)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "payload": payloads}
+            )
+
+    media = ids.mapInPandas(synth, media_schema)
+    feat = extract_features(media, use_real_codec=True)
+    f = F.col("feature")
+    return feat.select(
+        "doc_id",
+        F.element_at(f, 1).cast("double").alias("f0"),
+        F.element_at(f, 2).cast("double").alias("f1"),
+        F.element_at(f, 3).cast("double").alias("f2"),
+        F.element_at(f, 9).cast("double").alias("f8"),
+    )
+
+
 @_register("eval_report", _eval_report_sql())
 def q_eval_report(spark, sf_dir):
     """Training-eval report (src/train_classifier.py:56-96): per-class
