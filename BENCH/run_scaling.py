@@ -164,15 +164,17 @@ workers.
 |---|---|---|
 {eff_rows}
 
-Target ≥ 0.8 (BASELINE.json).  Hardware note: a pure-CPU burn test on
-this VM runs each fixed work unit ~1.44× slower at 32-way concurrency
-than alone (frequency/memory-bandwidth saturation), capping any
-perfectly-parallel job's 8→32 efficiency at ≈ 1/1.44·4/4 ≈ 0.69-0.80
-depending on how much of the job is bandwidth-bound.  The 4→16 pair
-sits below that saturation knee and is the honest analog of adding
-executor *machines* (a real 4N-executor cluster brings 4N× of every
-resource — memory bandwidth included — not just threads); the 8→32
-pair is reported as specified, with the host ceiling called out.
+Target ≥ 0.8 (BASELINE.json).  Hardware note: the committed burn-test
+artifact (`BENCH/burn_test.py` → `BENCH/burn_test.json`) runs a fixed
+numpy gather+reduce work unit (the UDF stage's memory-access shape) at
+1/8/32-way concurrency on this VM: per-unit slowdown 1.27× at 8-way and
+1.82× at 32-way (frequency/memory-bandwidth saturation), capping ANY
+perfectly-parallel bandwidth-bound job's 8→32 efficiency at
+1.27/1.82 ≈ **0.70**.  The 4→16 pair sits below that saturation knee
+and is the honest analog of adding executor *machines* (a real
+4N-executor cluster brings 4N× of every resource — memory bandwidth
+included — not just threads); the 8→32 pair is reported as specified,
+with the host ceiling called out.
 
 ## Per-stage decomposition of the {lo} → {hi} pair
 

@@ -61,6 +61,7 @@ def run_headline(
     from quality_filter.pipeline import clean_pipeline
     from quality_filter.scoring import with_scores
 
+    langid_impl = os.environ.get("BENCH_LANGID_IMPL", "udf")
     df = spark.read.parquet(transcripts_path)
     n_turns = df.count()
     sink_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -75,7 +76,7 @@ def run_headline(
             strategy="window",
         )
     elif stage == "udf":
-        result = with_scores(df).select(
+        result = with_scores(df, langid_impl=langid_impl).select(
             "conv_id", "turn_idx", "lang", "lang_prob", "logppl"
         )
     else:
@@ -86,7 +87,8 @@ def run_headline(
                 labels_to_remove="all",
                 scrub=True,
                 strategy="window",
-            )
+            ),
+            langid_impl=langid_impl,
         )
     result.write.mode("overwrite").parquet(out_dir)
     dt = time.time() - t0

@@ -55,6 +55,7 @@ def connected_components(
     b_col: str = "b",
     max_iter: int = 50,
     algorithm: str = "propagation",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation (default) or the
     alternating large-star/small-star algorithm (``algorithm='star'``,
@@ -65,12 +66,18 @@ def connected_components(
     become singleton clusters.  ``edges``: undirected edge list as
     (``a_col``, ``b_col``) pairs (any orientation, duplicates fine).
 
+    Pass a dict as ``stats`` to receive ``{"iterations": k}`` — the
+    bench harness uses it to evidence rounds-to-convergence vs input
+    scale.
+
     Returns (``id_col``, cluster_rep) where cluster_rep is the minimum
     vertex id reachable from the vertex (the component's canonical
     representative).
     """
     if algorithm == "star":
-        return _star_components(nodes, edges, id_col, a_col, b_col, max_iter)
+        return _star_components(
+            nodes, edges, id_col, a_col, b_col, max_iter, stats
+        )
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     from pyspark import StorageLevel
@@ -86,7 +93,7 @@ def connected_components(
             F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
         ).localCheckpoint()
         sig = _label_sig(labels)
-        for _ in range(max_iter):
+        for it in range(max_iter):
             msgs = und.join(labels, und["_s"] == labels["_v"]).select(
                 F.col("_d").alias("_v"), F.col("_lbl")
             )
@@ -98,6 +105,8 @@ def connected_components(
             )
             new_sig = _label_sig(labels)
             if new_sig == sig:
+                if stats is not None:
+                    stats["iterations"] = it + 1
                 break
             sig = new_sig
         else:
@@ -171,7 +180,7 @@ def _edge_sig(e: DataFrame):
 
 def _star_components(
     nodes: DataFrame, edges: DataFrame, id_col: str, a_col: str, b_col: str,
-    max_iter: int,
+    max_iter: int, stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star rounds until the edge set is a
     fixpoint (all edges then form stars rooted at component minima) —
@@ -188,10 +197,12 @@ def _star_components(
         .localCheckpoint()
     )
     sig = _edge_sig(e)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _edge_sig(e)
         if new_sig == sig:
+            if stats is not None:
+                stats["iterations"] = it + 1
             break
         sig = new_sig
     else:

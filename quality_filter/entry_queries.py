@@ -1882,13 +1882,16 @@ def q_top_quality_docs(spark, sf_dir):
     )
 
 
-def _eval_report_sql() -> str:
+def _eval_report_ctes() -> str:
+    """The shared (label, prediction) → per-class report CTE chain, ending
+    in ``rep`` with columns (class, support, predicted, tp, "precision",
+    "recall", f1)."""
     arr = ", ".join(f"'{l}'" for l in LABELS[1:])
     pred = (
         "(CASE WHEN clean_score >= 0.5 THEN 'Clean' "
         f"ELSE [{arr}][CAST((doc_id*13 + turn_idx*5) % 8 AS INT) + 1] END)"
     )
-    return _with_turns(
+    return (
         f", pairs AS (SELECT label, {pred} AS prediction FROM scored), "
         "cm AS (SELECT label, prediction, count(*) AS n FROM pairs GROUP BY 1, 2), "
         "pt AS (SELECT label AS class, CAST(SUM(n) AS BIGINT) AS support,"
@@ -1901,10 +1904,29 @@ def _eval_report_sql() -> str:
         " COALESCE(tp, 0) AS tp FROM pt FULL OUTER JOIN pp ON pt.class = pp.class), "
         'r AS (SELECT class, support, predicted, tp,'
         ' CASE WHEN predicted > 0 THEN CAST(tp AS DOUBLE)/predicted ELSE 0.0 END AS "precision",'
-        ' CASE WHEN support > 0 THEN CAST(tp AS DOUBLE)/support ELSE 0.0 END AS "recall" FROM j) '
-        'SELECT class, support, predicted, tp, "precision", "recall",'
+        ' CASE WHEN support > 0 THEN CAST(tp AS DOUBLE)/support ELSE 0.0 END AS "recall" FROM j), '
+        'rep AS (SELECT class, support, predicted, tp, "precision", "recall",'
         ' CASE WHEN "precision" + "recall" > 0'
-        ' THEN 2.0*"precision"*"recall"/("precision" + "recall") ELSE 0.0 END AS f1 FROM r'
+        ' THEN 2.0*"precision"*"recall"/("precision" + "recall") ELSE 0.0 END AS f1 FROM r)'
+    )
+
+
+def _eval_report_sql() -> str:
+    return _with_turns(
+        f"{_eval_report_ctes()} "
+        'SELECT class, support, predicted, tp, "precision", "recall", f1 FROM rep'
+    )
+
+
+def _eval_summary_sql() -> str:
+    # round(9) mirrors evalreport.eval_summary: parallel float AVG is
+    # summation-order-sensitive in BOTH engines (±1 ulp run-to-run)
+    return _with_turns(
+        f"{_eval_report_ctes()} "
+        "SELECT CAST(SUM(tp) AS DOUBLE)/SUM(support) AS accuracy,"
+        ' round(AVG("precision"), 9) AS macro_precision,'
+        ' round(AVG("recall"), 9) AS macro_recall,'
+        " round(AVG(f1), 9) AS macro_f1 FROM rep WHERE support > 0"
     )
 
 
@@ -2017,6 +2039,24 @@ def q_eval_report(spark, sf_dir):
     )
     pairs = t.withColumn("prediction", pred)
     return eval_report(pairs, label_col="label", pred_col="prediction")
+
+
+@_register("eval_summary", _eval_summary_sql())
+def q_eval_summary(spark, sf_dir):
+    """One-row accuracy + macro P/R/F1 over the same synthetic (label,
+    prediction) pairs (the summary block of the reference's
+    classification_report, src/train_classifier.py:69-77)."""
+    from quality_filter.evalreport import eval_summary
+
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    pred = F.when(F.col("clean_score") >= 0.5, F.lit("Clean")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(l) for l in LABELS[1:]]),
+            ((F.col("doc_id") * 13 + F.col("turn_idx") * 5) % 8).cast("int") + 1,
+        )
+    )
+    pairs = t.withColumn("prediction", pred)
+    return eval_summary(pairs, label_col="label", pred_col="prediction")
 
 
 @_register(

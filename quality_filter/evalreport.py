@@ -83,11 +83,17 @@ def eval_summary(
     ``classification_report``; accuracy at ``src/train_classifier.py:69``).
     Macro = unweighted mean over classes that appear as TRUE labels
     (sklearn convention: classes only ever predicted contribute to their
-    own row but not to the macro average)."""
+    own row but not to the macro average).
+
+    The macro averages are rounded to 9 decimals: floating-point AVG is
+    summation-order-sensitive and both Spark and DuckDB parallelize the
+    aggregate, so raw doubles drift by ±1 ulp run-to-run — rounding
+    makes the operator's output deterministic (accuracy is a ratio of
+    two exact integer sums and needs no rounding)."""
     rep = eval_report(df, label_col, pred_col).filter(F.col("support") > 0)
     return rep.agg(
         (F.sum("tp").cast("double") / F.sum("support")).alias("accuracy"),
-        F.avg("precision").alias("macro_precision"),
-        F.avg("recall").alias("macro_recall"),
-        F.avg("f1").alias("macro_f1"),
+        F.bround(F.avg("precision"), 9).alias("macro_precision"),
+        F.bround(F.avg("recall"), 9).alias("macro_recall"),
+        F.bround(F.avg("f1"), 9).alias("macro_f1"),
     )

@@ -97,21 +97,61 @@ LANG_MARKERS = {
 }
 
 
-def langid_sql_expr(text: Column) -> Column:
-    """argmax over per-language marker-word hit counts; 'und' when no
-    marker hits."""
-    words = F.split(F.lower(text), r"[^a-zçéàüöäñ]+")
+_LANG_WORD_CLASS = "a-zçéàüöäñ"
+
+
+def _lang_hit_structs(text: Column) -> list[Column]:
+    """Per-language marker-word hit counts as (n, lang) structs.
+
+    Counted with one alternation regex per language (``regexp_count``
+    with boundary classes — equivalent to splitting on the non-letter
+    class and counting exact word matches, but whole-stage-codegen'd):
+    the earlier formulation, ``F.filter`` over a split array per
+    language, ran as interpreted higher-order functions and measured
+    ~4× slower than the langid pandas UDF at 10M turns — the regex form
+    is what makes a JVM-side langid competitive (same lesson as the
+    simhash grouped-vs-HOF layout)."""
+    lowered = F.lower(text)
     counts = []
     for lang, markers in sorted(LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(m) for m in markers])
+        alt = "|".join(markers)
+        pat = (
+            f"(?:^|[^{_LANG_WORD_CLASS}])({alt})(?=$|[^{_LANG_WORD_CLASS}])"
+        )
         counts.append(
             F.struct(
-                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("n"),
+                F.regexp_count(lowered, F.lit(pat)).alias("n"),
                 F.lit(lang).alias("lang"),
             )
         )
-    best = F.array_max(F.array(*counts))
+    return counts
+
+
+def langid_sql_expr(text: Column) -> Column:
+    """argmax over per-language marker-word hit counts; 'und' when no
+    marker hits."""
+    best = F.array_max(F.array(*_lang_hit_structs(text)))
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def langid_sql_struct_expr(text: Column) -> Column:
+    """struct<lang, lang_prob> variant: lang as above, lang_prob = the
+    winning language's share of all marker hits (0.0 for 'und') — the
+    JVM-side confidence analog used when the hot path runs langid without
+    a Python worker (scoring.with_scores(langid_impl='sql'))."""
+    counts = _lang_hit_structs(text)
+    arr = F.array(*counts)
+    best = F.array_max(arr)
+    total = F.aggregate(arr, F.lit(0), lambda acc, s: acc + s["n"])
+    return F.struct(
+        F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang"),
+        F.when(
+            best["n"] > 0,
+            F.bround(best["n"].cast("double") / total, 3),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lang_prob"),
+    )
 
 
 FP_MOD = 1 << 52
