@@ -247,6 +247,75 @@ def main() -> None:
         ),
     ))
 
+    ev = QUERIES["eval_report"](spark, "/root/testdata/sf0.01")
+    ev.count()
+    sections.append((
+        "Training-eval report (per-class P/R/F1)",
+        "Everything reduces through one map-side-combinable "
+        "groupBy(label, prediction) — the confusion matrix is ≤|classes|² "
+        "rows regardless of corpus size; the per-class report is a "
+        "full-outer join of two aggregates OVER THAT TINY TABLE, so every "
+        "exchange after the first carries class-count rows, never corpus "
+        "rows.",
+        "\n".join(
+            l for l in plan_of(ev).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate"))
+        ),
+    ))
+
+    mm = QUERIES["multimodal_features"](spark, "/root/testdata/sf0.01")
+    mm.count()
+    sections.append((
+        "Multimodal feature extraction (mapInPandas decode)",
+        "Partition-preserving: payload synthesis and codec decode are two "
+        "chained MapInPandas operators with NO exchange between scan and "
+        "output — binary columns never shuffle; the feature projection is "
+        "narrow.",
+        "\n".join(
+            l for l in plan_of(mm).splitlines()
+            if any(k in l for k in ("MapInPandas", "Exchange", "Scan", "Project"))
+        ),
+    ))
+
+    from quality_filter.dedup import exact_jaccard_for_pairs
+
+    pr = edges.select("a", "b")
+    ej = exact_jaccard_for_pairs(df, pr)
+    ej.count()
+    sections.append((
+        "Exact-Jaccard verify layer (pair-scoped shingling)",
+        "Only docs appearing in some candidate pair are shingled (the "
+        "left-semi join against the pair id set runs BEFORE the explode), "
+        "and the intersection count joins pair×shingle streams on "
+        "(doc, shingle) equi-keys — work scales with Σ|shingles(candidate "
+        "docs)|, never with the corpus.",
+        "\n".join(
+            l for l in plan_of(ej).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate", "Generate"))
+        ),
+    ))
+
+    from quality_filter.sampling import mixture_resample
+
+    mix = mixture_resample(
+        df.select("doc_id", "source"),
+        {"src0": 400, "src1": 300, "src2": 200, "src3": 100},
+        budget_pm=100,
+    )
+    mix.count()
+    sections.append((
+        "Domain-mixture resample (one-pass thresholds)",
+        "ONE corpus scan total: the per-domain count aggregate feeds "
+        "driver-side exact-integer threshold arithmetic (bounded domain "
+        "vocabulary, guarded), and selection is a BROADCAST join of the "
+        "literal rates table + a narrow filter — the plan contains no "
+        "second scan and no corpus shuffle.",
+        "\n".join(
+            l for l in plan_of(mix).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate", "Scan", "Filter"))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
