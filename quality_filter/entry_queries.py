@@ -2059,6 +2059,97 @@ def q_eval_summary(spark, sf_dir):
     return eval_summary(pairs, label_col="label", pred_col="prediction")
 
 
+@_register("cohen_kappa", None)  # oracle attached below via _register_kappa
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa: chance-corrected classifier-vs-truth agreement over
+    the synthetic (label, prediction) pairs — the agreement statistic a
+    labeling pipeline reports alongside P/R/F1 (evalreport.cohen_kappa).
+    All inputs to the final arithmetic are exact integer sums, so the
+    double is bit-deterministic."""
+    from quality_filter.evalreport import cohen_kappa
+
+    t = _synth_cols(derive_turns(spark, sf_dir))
+    pred = F.when(F.col("clean_score") >= 0.5, F.lit("Clean")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(l) for l in LABELS[1:]]),
+            ((F.col("doc_id") * 13 + F.col("turn_idx") * 5) % 8).cast("int") + 1,
+        )
+    )
+    return cohen_kappa(t.withColumn("prediction", pred))
+
+
+ORACLES["cohen_kappa"] = _with_turns(
+    f"{_eval_report_ctes()}, "
+    "t AS (SELECT CAST(SUM(support) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS tp,"
+    " CAST(SUM(support * predicted) AS BIGINT) AS sp FROM rep) "
+    "SELECT CASE WHEN CAST(sp AS DOUBLE)/(n*n) < 1.0"
+    " THEN (CAST(tp AS DOUBLE)/n - CAST(sp AS DOUBLE)/(n*n))"
+    " / (1.0 - CAST(sp AS DOUBLE)/(n*n)) ELSE 0.0 END AS kappa FROM t"
+)
+
+
+@_register(
+    "doc_length_histogram",
+    "SELECT CAST(floor(log2(greatest(n_chars, 1))) AS INT) AS log2_bucket,"
+    " count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars"
+    " FROM documents GROUP BY 1",
+)
+def q_doc_length_histogram(spark, sf_dir):
+    """Corpus length profile (FineWeb-style data audit): documents
+    bucketed by floor(log2(n_chars)).  One map-side-combinable aggregate
+    over ≤64 buckets — corpus-size-independent output."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("int")
+    return docs.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "top_tokens",
+    "WITH w AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+    "SELECT token, count(*) AS n FROM w WHERE token <> ''"
+    " GROUP BY 1 ORDER BY n DESC, token LIMIT 20",
+)
+def q_top_tokens(spark, sf_dir):
+    """Corpus token-frequency head (Zipf audit): top-20 whitespace tokens
+    with a deterministic (count desc, token asc) tiebreak.  Explode →
+    map-side-combined count → global top-k; the shuffle carries one row
+    per DISTINCT token, the limit is driver-side over k rows."""
+    docs = _docs(spark, sf_dir)
+    w = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        w.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@_register(
+    "length_quantiles_by_source",
+    "SELECT source, quantile_cont(n_chars, 0.25) AS p25,"
+    " quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.75) AS p75"
+    " FROM documents GROUP BY source",
+)
+def q_length_quantiles_by_source(spark, sf_dir):
+    """Per-source length quantiles (corpus audit table): exact sort-based
+    percentiles, linear interpolation — matches DuckDB quantile_cont
+    bit-for-bit on integer inputs (same (1−d)·lo + d·hi formula).  At
+    10^12 rows the same plan swaps to approx_percentile (KLL sketch)."""
+    docs = _docs(spark, sf_dir)
+    q = F.percentile(F.col("n_chars"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return docs.groupBy("source").agg(
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p75"),
+    )
+
+
 @_register(
     "near_dup_dedup_docs",
     f"WITH RECURSIVE {_minhash_pair_ctes()}, "

@@ -97,3 +97,28 @@ def eval_summary(
         F.bround(F.avg("recall"), 9).alias("macro_recall"),
         F.bround(F.avg("f1"), 9).alias("macro_f1"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """Cohen's kappa over (label, prediction) rows: chance-corrected
+    agreement κ = (p_o − p_e) / (1 − p_e), with p_o = accuracy and
+    p_e = Σ_c support_c·predicted_c / n² — the standard annotator-vs-
+    classifier agreement statistic a labeling pipeline reports alongside
+    P/R/F1.  Every input to the final arithmetic is an exact integer sum
+    over the ≤|classes|²-row confusion matrix, so the double result is
+    bit-deterministic (no order-sensitive float aggregation)."""
+    rep = eval_report(df, label_col, pred_col)
+    agg = rep.agg(
+        F.sum("support").alias("n"),
+        F.sum("tp").alias("tp"),
+        F.sum(F.col("support") * F.col("predicted")).alias("sp"),
+    )
+    po = F.col("tp").cast("double") / F.col("n")
+    pe = F.col("sp").cast("double") / (F.col("n") * F.col("n"))
+    return agg.select(
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+        .otherwise(F.lit(0.0))
+        .alias("kappa")
+    )

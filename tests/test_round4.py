@@ -236,6 +236,32 @@ def test_eval_report_hand_computed(spark):
     assert summ["macro_recall"] == pytest.approx((6 / 9 + 3 / 4 + 0.0) / 3)
 
 
+def test_cohen_kappa_hand_computed(spark):
+    from quality_filter.evalreport import cohen_kappa
+
+    # classic 2-class example: n=50, agreement 20+15=35, marginals
+    # A: (25,25) true, (30,20) predicted -> pe = (25*30 + 25*20)/2500 = 0.5
+    rows = (
+        [("a", "a")] * 20 + [("a", "b")] * 5
+        + [("b", "a")] * 10 + [("b", "b")] * 15
+    )
+    df = spark.createDataFrame(rows, "label string, prediction string")
+    k = cohen_kappa(df).collect()[0]["kappa"]
+    po, pe = 35 / 50, (25 * 30 + 25 * 20) / 2500
+    assert k == pytest.approx((po - pe) / (1 - pe))
+    # perfect agreement -> kappa 1; total disagreement over 2 classes with
+    # symmetric marginals -> kappa -1
+    perfect = spark.createDataFrame([("x", "x")] * 4 + [("y", "y")] * 4,
+                                    "label string, prediction string")
+    assert cohen_kappa(perfect).collect()[0]["kappa"] == pytest.approx(1.0)
+    worst = spark.createDataFrame([("x", "y")] * 4 + [("y", "x")] * 4,
+                                  "label string, prediction string")
+    assert cohen_kappa(worst).collect()[0]["kappa"] == pytest.approx(-1.0)
+    # degenerate: everything one class on both sides -> pe = 1 -> defined 0
+    degen = spark.createDataFrame([("x", "x")] * 5, "label string, prediction string")
+    assert cohen_kappa(degen).collect()[0]["kappa"] == 0.0
+
+
 # -- JVM-side langid variants ------------------------------------------------
 
 def test_langid_sql_struct_agrees_with_expr(spark):
