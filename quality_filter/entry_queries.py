@@ -2150,6 +2150,102 @@ def q_length_quantiles_by_source(spark, sf_dir):
     )
 
 
+_SEMDEDUP_COS = (
+    "round(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i]))) * "
+    " sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))), 6)"
+)
+
+
+@_register(
+    "semantic_dedup_docs",
+    # the embeddings table has no near-parallel pairs (max pairwise cosine
+    # ~0.51), so semantic duplicates are PLANTED deterministically: every
+    # vec_id % 10 == 0 row gains scaled copies at +1000 (×2) and +2000
+    # (×3) — scaling preserves cosine exactly, giving 3-element transitive
+    # clusters whose minimum id must survive
+    "WITH RECURSIVE "
+    "base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+    " FROM embeddings WHERE vec_id < 150), "
+    "v AS (SELECT vec_id, e FROM base"
+    " UNION ALL SELECT vec_id + 1000, list_transform(e, x -> x * 2) FROM base WHERE vec_id % 10 = 0"
+    " UNION ALL SELECT vec_id + 2000, list_transform(e, x -> x * 3) FROM base WHERE vec_id % 10 = 0), "
+    f"p AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM v a JOIN v b"
+    f" ON a.vec_id < b.vec_id AND {_SEMDEDUP_COS} >= 0.9), "
+    "und AS (SELECT pa AS s, pb AS d FROM p UNION ALL SELECT pb, pa FROM p), "
+    "reach(s, d) AS ("
+    " SELECT vec_id, vec_id FROM v"
+    " UNION"
+    " SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s), "
+    "comp AS (SELECT s AS vec_id, MIN(d) AS rep FROM reach GROUP BY s) "
+    "SELECT vec_id FROM comp WHERE vec_id = rep",
+)
+def q_semantic_dedup_docs(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023), exact small-set
+    formulation: all-pairs cosine ≥ 0.9 (rounded to 6 for cross-engine
+    float parity) over a bounded subset with PLANTED scaled copies
+    (3-element transitive clusters) → connected components → one
+    canonical row per semantic cluster.  The sub-quadratic scale path is
+    similarity.semantic_dedup (SRP-LSH bucketed pairs, same downstream
+    clustering) — equivalence pytest-covered where LSH recall is 1."""
+    from quality_filter.cluster import cluster_dedup
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    ).select("vec_id", "embedding")
+    dup = base.filter(F.col("vec_id") % 10 == 0)
+    scaled = lambda k: F.transform(  # noqa: E731
+        F.col("embedding"), lambda x: (x.cast("double") * k).cast("float")
+    )
+    emb = base.unionByName(
+        dup.select((F.col("vec_id") + 1000).alias("vec_id"), scaled(2).alias("embedding"))
+    ).unionByName(
+        dup.select((F.col("vec_id") + 2000).alias("vec_id"), scaled(3).alias("embedding"))
+    )
+    from quality_filter.similarity import _dot, _norm
+
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= 0.9)
+        .select("a", "b")
+    )
+    return cluster_dedup(emb.select("vec_id"), pairs, id_col="vec_id").select(
+        "vec_id"
+    )
+
+
+def _quality_weighted_sql() -> str:
+    qsql = _quality_score_sql()
+    return (
+        f"WITH s AS ({qsql}) SELECT doc_id, quality_score FROM s "
+        "WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 1000 + 1000) % 1000"
+        " < floor(quality_score * 1000)"
+    )
+
+
+@_register("quality_weighted_docs", _quality_weighted_sql())
+def q_quality_weighted_docs(spark, sf_dir):
+    """Soft quality filtering: keep each doc with probability equal to its
+    heuristic quality score, selected deterministically by the
+    engine-portable integer mix (sampling.quality_weighted_sample) — the
+    FineWeb-style alternative to a hard threshold that preserves some
+    mid-quality mass.  Narrow filter, no shuffle."""
+    from quality_filter.sampling import quality_weighted_sample
+    from quality_filter.textstats import with_quality_score
+
+    docs = with_quality_score(_docs(spark, sf_dir))
+    return quality_weighted_sample(docs, "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
 @_register(
     "near_dup_dedup_docs",
     f"WITH RECURSIVE {_minhash_pair_ctes()}, "

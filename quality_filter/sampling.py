@@ -195,6 +195,24 @@ def _domain_counts(df: DataFrame, domain_col: str) -> tuple[dict, int]:
     return counts, sum(counts.values())
 
 
+def quality_weighted_sample(
+    df: DataFrame, score_col: str, key: str = "doc_id", scale_pm: int = 1000
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability proportional
+    to its [0,1] quality score (score 1.0 → always kept at the default
+    scale, 0.2 → 20%), selected DETERMINISTICALLY by the same
+    engine-portable mix as the split/shard operators:
+
+        keep  ⟺  bucket(key) < floor(score · scale_pm)
+
+    The soft alternative to a hard threshold cut (FineWeb-style pipelines
+    use both: hard floors for garbage, proportional sampling to keep some
+    mid-quality mass and avoid distribution collapse).  Narrow filter, no
+    shuffle, reproducible on reruns and across engines."""
+    thr = F.floor(F.col(score_col) * F.lit(scale_pm))
+    return df.filter(deterministic_bucket(key, scale_pm) < thr)
+
+
 def mixture_upsample(
     df: DataFrame,
     weights: dict[str, int],

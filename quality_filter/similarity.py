@@ -128,6 +128,38 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    algorithm: str = "propagation",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): rows whose embeddings are near-parallel (cosine ≥
+    ``threshold``) collapse to one canonical row per semantic cluster
+    (minimum id keeper), removing paraphrases and re-renders that exact
+    and shingle dedup cannot see.
+
+    Scale path: SRP-LSH bucketed candidate pairs (``embedding_near_dups``
+    — sub-quadratic, near-identical vectors collide in every table so
+    recall at high thresholds is ~1) → connected components →
+    ``cluster_dedup``'s keeper semi-join.  The exact all-pairs variant
+    for small/verification sets is the driver row's formulation."""
+    from quality_filter.cluster import cluster_dedup
+
+    pairs = embedding_near_dups(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
+    ).select("a", "b")
+    return cluster_dedup(df, pairs, id_col=id_col, algorithm=algorithm)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -262,6 +262,55 @@ def test_cohen_kappa_hand_computed(spark):
     assert cohen_kappa(degen).collect()[0]["kappa"] == 0.0
 
 
+# -- semantic dedup (SemDeDup-style) -----------------------------------------
+
+def test_semantic_dedup_lsh_path_matches_exact(spark):
+    """Planted near-parallel embedding clusters: the sub-quadratic
+    SRP-LSH path must keep the same survivors as exact all-pairs cosine
+    (near-identical vectors collide in every LSH table → recall 1)."""
+    import numpy as np
+
+    from quality_filter.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    expected_survivors = set()
+    for c in range(10):
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        n_members = 1 + c % 4
+        expected_survivors.add(vid)  # min id of each cluster survives
+        for m in range(n_members):
+            v = base + rng.randn(64) * 1e-4  # cosine ≈ 1 within cluster
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.95)
+    got = {r["vec_id"] for r in out.collect()}
+    assert got == expected_survivors
+
+
+def test_quality_weighted_sample_rate_tracks_score(spark):
+    from quality_filter.sampling import _MIX, quality_weighted_sample
+
+    rows = [(i, [0.1, 0.5, 0.9][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = quality_weighted_sample(df, "score")
+    got = {r["doc_id"] for r in out.collect()}
+    import math
+
+    expect = {
+        i for i, s in rows if (i * _MIX) % 1000 < math.floor(s * 1000)
+    }
+    assert got == expect
+    # keep-rate per stratum ≈ its score
+    for s in (0.1, 0.5, 0.9):
+        ids = [i for i, sc in rows if sc == s]
+        kept = sum(1 for i in ids if i in got)
+        assert abs(kept / len(ids) - s) < 0.05
+
+
 # -- JVM-side langid variants ------------------------------------------------
 
 def test_langid_sql_struct_agrees_with_expr(spark):
