@@ -316,6 +316,25 @@ def main() -> None:
         ),
     ))
 
+    from quality_filter.similarity import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sem_pairs = embedding_near_dups(emb, threshold=0.95)
+    sem_pairs.count()
+    sections.append((
+        "Semantic dedup — SRP-LSH pair stage (scale path)",
+        "The SemDeDup pipeline's quadratic half is bucketed: candidate "
+        "pairs come from an EQUI-join on (table, bucket) over the "
+        "sign-random-projection ids (hyperplanes folded into the plan as "
+        "literals — no model broadcast, no UDF), then exact cosine "
+        "verifies only candidates.  Downstream clustering reuses the "
+        "connected-components round shown above.",
+        "\n".join(
+            l for l in plan_of(sem_pairs).splitlines()
+            if any(k in l for k in ("Join", "Exchange", "Aggregate", "Generate"))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
