@@ -196,7 +196,11 @@ def exact_jaccard_for_pairs(
     on (doc, shingle) equi-keys — volume is Σ|shingles(a)| over pairs,
     never corpus-quadratic.
 
-    Returns (a, b, jaccard) for every input pair (0.0 when disjoint)."""
+    Returns (a, b, jaccard) for EVERY input pair: 0.0 when the shingle
+    sets are disjoint, and also when either side has zero shingles (doc
+    shorter than ``shingle_k`` words, null/empty text, or an id absent
+    from ``df`` entirely) — the size joins are left joins with a
+    coalesce-to-0 so no pair silently vanishes."""
     ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
@@ -223,11 +227,13 @@ def exact_jaccard_for_pairs(
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("n_b"))
     j = (
         pairs.join(common, ["a", "b"], "left")
-        .join(na, "a")
-        .join(nb, "b")
+        .join(na, "a", "left")
+        .join(nb, "b", "left")
         .withColumn("_nc", F.coalesce(F.col("n_common"), F.lit(0)))
+        .withColumn("_na", F.coalesce(F.col("n_a"), F.lit(0)))
+        .withColumn("_nb", F.coalesce(F.col("n_b"), F.lit(0)))
     )
-    union_n = F.col("n_a") + F.col("n_b") - F.col("_nc")
+    union_n = F.col("_na") + F.col("_nb") - F.col("_nc")
     return j.select(
         "a",
         "b",

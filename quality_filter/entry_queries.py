@@ -1919,14 +1919,22 @@ def _eval_report_sql() -> str:
 
 
 def _eval_summary_sql() -> str:
-    # round(9) mirrors evalreport.eval_summary: parallel float AVG is
-    # summation-order-sensitive in BOTH engines (±1 ulp run-to-run)
+    # bround-9 (sqlgen.bround_sql — Spark HALF_EVEN tie rule, NOT DuckDB
+    # round which is half-away-from-zero on the raw binary) mirrors
+    # evalreport.eval_summary: parallel float AVG is summation-order-
+    # sensitive in BOTH engines (±1 ulp run-to-run).  Macro averages over
+    # ALL rep rows (true ∪ predicted classes — sklearn labels=None).
+    from quality_filter.sqlgen import bround_sql
+
+    mp = bround_sql('AVG("precision")', 9)
+    mr = bround_sql('AVG("recall")', 9)
+    mf = bround_sql("AVG(f1)", 9)
     return _with_turns(
         f"{_eval_report_ctes()} "
         "SELECT CAST(SUM(tp) AS DOUBLE)/SUM(support) AS accuracy,"
-        ' round(AVG("precision"), 9) AS macro_precision,'
-        ' round(AVG("recall"), 9) AS macro_recall,'
-        " round(AVG(f1), 9) AS macro_f1 FROM rep WHERE support > 0"
+        f" {mp} AS macro_precision,"
+        f" {mr} AS macro_recall,"
+        f" {mf} AS macro_f1 FROM rep"
     )
 
 
@@ -2079,12 +2087,16 @@ def q_cohen_kappa(spark, sf_dir):
 
 
 ORACLES["cohen_kappa"] = _with_turns(
+    # HUGEINT marginal products mirror the Spark side's decimal(38,0):
+    # support·predicted and n² overflow int64 past n ≈ 3e9 pairs
     f"{_eval_report_ctes()}, "
     "t AS (SELECT CAST(SUM(support) AS BIGINT) AS n, CAST(SUM(tp) AS BIGINT) AS tp,"
-    " CAST(SUM(support * predicted) AS BIGINT) AS sp FROM rep) "
-    "SELECT CASE WHEN CAST(sp AS DOUBLE)/(n*n) < 1.0"
-    " THEN (CAST(tp AS DOUBLE)/n - CAST(sp AS DOUBLE)/(n*n))"
-    " / (1.0 - CAST(sp AS DOUBLE)/(n*n)) ELSE 0.0 END AS kappa FROM t"
+    " CAST(SUM(CAST(support AS HUGEINT) * predicted) AS HUGEINT) AS sp FROM rep) "
+    "SELECT CASE WHEN CAST(sp AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) < 1.0"
+    " THEN (CAST(tp AS DOUBLE)/CAST(n AS DOUBLE)"
+    "       - CAST(sp AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))"
+    " / (1.0 - CAST(sp AS DOUBLE)/(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)))"
+    " ELSE 0.0 END AS kappa FROM t"
 )
 
 

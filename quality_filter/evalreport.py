@@ -81,16 +81,20 @@ def eval_summary(
 ) -> DataFrame:
     """One-row accuracy + macro-averaged P/R/F1 (the summary block of
     ``classification_report``; accuracy at ``src/train_classifier.py:69``).
-    Macro = unweighted mean over classes that appear as TRUE labels
-    (sklearn convention: classes only ever predicted contribute to their
-    own row but not to the macro average).
+    Macro = unweighted mean over the UNION of true and predicted classes
+    — the sklearn ``labels=None`` convention the reference relies on
+    (``f1_score(average='macro')``, ``src/train_classifier.py:76``): a
+    class that is only ever predicted (support 0) still contributes its
+    zero recall/F1 to the average.  ``eval_report``'s full outer join
+    already materializes exactly that class set, so the macro is the
+    plain AVG over its rows.
 
     The macro averages are rounded to 9 decimals: floating-point AVG is
     summation-order-sensitive and both Spark and DuckDB parallelize the
     aggregate, so raw doubles drift by ±1 ulp run-to-run — rounding
     makes the operator's output deterministic (accuracy is a ratio of
     two exact integer sums and needs no rounding)."""
-    rep = eval_report(df, label_col, pred_col).filter(F.col("support") > 0)
+    rep = eval_report(df, label_col, pred_col)
     return rep.agg(
         (F.sum("tp").cast("double") / F.sum("support")).alias("accuracy"),
         F.bround(F.avg("precision"), 9).alias("macro_precision"),
@@ -108,15 +112,31 @@ def cohen_kappa(
     classifier agreement statistic a labeling pipeline reports alongside
     P/R/F1.  Every input to the final arithmetic is an exact integer sum
     over the ≤|classes|²-row confusion matrix, so the double result is
-    bit-deterministic (no order-sensitive float aggregation)."""
-    rep = eval_report(df, label_col, pred_col)
+    bit-deterministic (no order-sensitive float aggregation).
+
+    The marginal products and n² run in decimal(38,0): at the 10^12-pair
+    scale this module targets, ``n * n`` and ``Σ support·predicted``
+    overflow int64 past n ≈ 3e9 (wrong or negative κ); decimal keeps
+    both exact up to n ≈ 9.2e18 (n² ≤ 8.5e37 < 10^38) before the final
+    lossless-in-relative-terms cast to double.  Oracle mirror: DuckDB
+    HUGEINT (int128)."""
+    return kappa_from_report(eval_report(df, label_col, pred_col))
+
+
+def kappa_from_report(rep: DataFrame) -> DataFrame:
+    """κ from a per-class report (class, support, predicted, tp) — the
+    arithmetic half of ``cohen_kappa``, split out so the overflow
+    treatment is testable at web-scale counts without materializing
+    rows."""
+    dec = "decimal(38,0)"
     agg = rep.agg(
         F.sum("support").alias("n"),
         F.sum("tp").alias("tp"),
-        F.sum(F.col("support") * F.col("predicted")).alias("sp"),
+        F.sum(F.col("support").cast(dec) * F.col("predicted").cast(dec)).alias("sp"),
     )
-    po = F.col("tp").cast("double") / F.col("n")
-    pe = F.col("sp").cast("double") / (F.col("n") * F.col("n"))
+    n_d = F.col("n").cast("double")
+    po = F.col("tp").cast("double") / n_d
+    pe = F.col("sp").cast("double") / (n_d * n_d)
     return agg.select(
         F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
         .otherwise(F.lit(0.0))

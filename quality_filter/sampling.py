@@ -172,11 +172,10 @@ def mixture_resample(
     counts, total = _domain_counts(df, domain_col)
     rates = [
         (d, min(1000, (total * budget_pm * int(weights[d])) // (1000 * n)))
-        for d, n in sorted(counts.items())
-        if d in weights
+        for d, n in _eligible_domains(counts, weights)
     ]
     rates_df = df.sparkSession.createDataFrame(
-        rates, f"{domain_col} string, _thr bigint"
+        rates, _rates_schema(df, domain_col, "_thr")
     )
     return (
         df.join(F.broadcast(rates_df), domain_col)
@@ -186,13 +185,41 @@ def mixture_resample(
 
 
 def _domain_counts(df: DataFrame, domain_col: str) -> tuple[dict, int]:
-    """Per-domain row counts + corpus total from a single aggregate pass."""
+    """Per-domain row counts + corpus total from a single aggregate pass.
+    The total counts EVERY row, including NULL-domain rows (the NULL
+    group is a legitimate count key even though it can never be selected
+    by the weight map)."""
     rows = _bounded_collect(
         df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n")),
         f"domain column {domain_col!r}",
     )
     counts = {r[domain_col]: r["_n"] for r in rows}
     return counts, sum(counts.values())
+
+
+def _eligible_domains(counts: dict, weights: dict) -> list:
+    """Deterministically ordered (domain, count) pairs that participate in
+    a mixture: NULL domains are skipped BEFORE sorting (a None key would
+    make ``sorted`` raise TypeError against str domains; an inner
+    equi-join could never match them anyway), as are domains absent from
+    the weight map."""
+    return sorted(
+        (d, n)
+        for d, n in counts.items()
+        if d is not None and d in weights
+    )
+
+
+def _rates_schema(df: DataFrame, domain_col: str, extra: str):
+    """Schema for the broadcast per-domain rates table: the domain field
+    type is taken from ``df`` (not hardcoded string — int/date domain
+    keys must round-trip with their own type for the join to hit)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [StructField(domain_col, df.schema[domain_col].dataType)]
+    for name in extra.split(","):
+        fields.append(StructField(name.strip(), LongType()))
+    return StructType(fields)
 
 
 def quality_weighted_sample(
@@ -237,14 +264,12 @@ def mixture_upsample(
     volume = requested budget, shuffles nowhere."""
     counts, total = _domain_counts(df, domain_col)
     rates = []
-    for d, n in sorted(counts.items()):
-        if d not in weights:
-            continue
+    for d, n in _eligible_domains(counts, weights):
         target = (total * budget_pm * int(weights[d])) // 1_000_000
         base = target // n
         rates.append((d, base, (1000 * (target - base * n)) // n))
     rates_df = df.sparkSession.createDataFrame(
-        rates, f"{domain_col} string, _base bigint, _fthr bigint"
+        rates, _rates_schema(df, domain_col, "_base,_fthr")
     )
     copies = F.col("_base") + F.when(
         deterministic_bucket(key) < F.col("_fthr"), 1

@@ -67,15 +67,30 @@ def label_sql(t: str) -> str:
     )
 
 
-def bround3_sql(x: str) -> str:
-    """Spark ``bround(x, 3)`` emulation: HALF_EVEN on the *shortest decimal
-    repr* of the double (DuckDB's own ``round_even`` rounds the raw binary
-    value and even misrounds decimal ties, e.g. 0.7525 → 0.753).  Double →
-    VARCHAR gives the shortest round-trip repr; DECIMAL(38,18) holds it
-    exactly; the CASE applies banker's rounding by hand.  Fuzz-verified
-    bit-identical to Spark over 4k values including dense ties."""
-    d = f"CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18))"
-    s = f"({d} * 1000)"
+def bround_sql(x: str, digits: int = 3) -> str:
+    """Spark ``bround(x, digits)`` emulation: HALF_EVEN on the *shortest
+    decimal repr* of the double (DuckDB's own ``round_even`` rounds the raw
+    binary value and even misrounds decimal ties, e.g. 0.7525 → 0.753).
+    Double → VARCHAR gives the shortest round-trip repr; DECIMAL(38,18)
+    holds it exactly; the CASE applies banker's rounding by hand.
+    Fuzz-verified bit-identical to Spark over 4k values including dense
+    ties at 3 digits, and over tie-dense 9-digit values (every oracle that
+    rounds a parallel float AVG must use this, not DuckDB ``round`` —
+    the two disagree on decimal ties).
+
+    The decimal scale is ``digits + 19``: a shortest double repr carries
+    ≤ 17 significant digits, and any value near a digit-``digits`` tie
+    has its leading digit no deeper than position ``digits + 1``, so its
+    FULL repr fits in ``digits + 18`` fractional digits (+1 margin).  A
+    fixed scale of 18 silently rounded e.g. 4.500000000000001e-09 to the
+    exact 9-digit tie and broke the HALF_EVEN/round-up distinction.
+    Domain: |x| < 10^(19 - 2·digits) (decimal width 38); quality scores
+    and macro averages live in [0, 1]."""
+    assert 0 <= digits <= 9, "bround_sql supports 0-9 digits"
+    scale = 10 ** digits
+    frac = digits + 19
+    d = f"CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,{frac}))"
+    s = f"({d} * {scale})"
     fl = f"floor({s})"
     fr = f"({s} - floor({s}))"
     r = (
@@ -83,7 +98,12 @@ def bround3_sql(x: str) -> str:
         f"WHEN {fr} < 0.5 THEN {fl} "
         f"WHEN CAST({fl} AS BIGINT) % 2 = 0 THEN {fl} ELSE {fl} + 1 END)"
     )
-    return f"(CAST({r} AS DOUBLE) / 1000.0)"
+    return f"(CAST({r} AS DOUBLE) / {scale}.0)"
+
+
+def bround3_sql(x: str) -> str:
+    """Spark ``bround(x, 3)`` emulation (see ``bround_sql``)."""
+    return bround_sql(x, 3)
 
 
 def raw_score_sql(t: str) -> str:

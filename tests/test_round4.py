@@ -232,8 +232,10 @@ def test_eval_report_hand_computed(spark):
 
     summ = eval_summary(df).collect()[0]
     assert summ["accuracy"] == pytest.approx(9 / 15)
-    # macro over true classes only (Clean, Spam, Rare)
-    assert summ["macro_recall"] == pytest.approx((6 / 9 + 3 / 4 + 0.0) / 3)
+    # macro over the UNION of true and predicted classes (sklearn
+    # labels=None): Clean, Spam, Rare, and never-true Ghost (recall 0)
+    assert summ["macro_recall"] == pytest.approx((6 / 9 + 3 / 4 + 0.0 + 0.0) / 4)
+    assert summ["macro_precision"] == pytest.approx((6 / 9 + 3 / 5 + 0.0 + 0.0) / 4)
 
 
 def test_cohen_kappa_hand_computed(spark):
