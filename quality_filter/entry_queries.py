@@ -2193,14 +2193,22 @@ _SEMDEDUP_COS = (
     "SELECT vec_id FROM comp WHERE vec_id = rep",
 )
 def q_semantic_dedup_docs(spark, sf_dir):
-    """SemDeDup-style semantic dedup (Abbas et al. 2023), exact small-set
-    formulation: all-pairs cosine ≥ 0.9 (rounded to 6 for cross-engine
-    float parity) over a bounded subset with PLANTED scaled copies
-    (3-element transitive clusters) → connected components → one
-    canonical row per semantic cluster.  The sub-quadratic scale path is
-    similarity.semantic_dedup (SRP-LSH bucketed pairs, same downstream
-    clustering) — equivalence pytest-covered where LSH recall is 1."""
-    from quality_filter.cluster import cluster_dedup
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) through the
+    PRODUCTION scale path: ``similarity.semantic_dedup`` — SRP-LSH
+    bucketed candidate pairs (equi-join on (table, bucket), hyperplanes
+    as plan literals) → exact-cosine verify → connected components → one
+    canonical row per semantic cluster.  The embeddings table has no
+    near-parallel pairs (max pairwise cosine ≈ 0.51), so clusters are
+    PLANTED as positively-scaled copies: scaling preserves direction, so
+    every copy lands in the SAME SRP bucket in EVERY table (the ×2 copy
+    bit-exactly — power-of-two scaling commutes with double rounding —
+    and the ×3 copy up to a sign flip only when a projection sits within
+    float epsilon of a hyperplane, vanishing odds across 4 independent
+    tables), making LSH recall 1 by construction; precision is enforced
+    by the operator's exact cosine ≥ threshold verify (planted-to-other
+    cosine equals base-to-other ≤ 0.51).  The oracle checks the same
+    semantics via exact all-pairs + recursive-CTE components."""
+    from quality_filter.similarity import semantic_dedup
 
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 150
@@ -2214,23 +2222,7 @@ def q_semantic_dedup_docs(spark, sf_dir):
     ).unionByName(
         dup.select((F.col("vec_id") + 2000).alias("vec_id"), scaled(3).alias("embedding"))
     )
-    from quality_filter.similarity import _dot, _norm
-
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
-        6,
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .filter(cos >= 0.9)
-        .select("a", "b")
-    )
-    return cluster_dedup(emb.select("vec_id"), pairs, id_col="vec_id").select(
-        "vec_id"
-    )
+    return semantic_dedup(emb, threshold=0.9).select("vec_id")
 
 
 def _quality_weighted_sql() -> str:
