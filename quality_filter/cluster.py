@@ -314,6 +314,7 @@ def dedup_pipeline(
     substring_k: int | None = None,
     algorithm: str = "propagation",
     verify_exact: bool = False,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """The staged corpus-dedup composition a 100 TB run uses, in order:
 
@@ -351,7 +352,8 @@ def dedup_pipeline(
 
     uniq = exact_dedup(df, id_col, text_col)
     sig = minhash_signatures(uniq, id_col, text_col)
-    pairs = minhash_jaccard(sig, lsh_candidates(sig, id_col), id_col).filter(
+    cand = lsh_candidates(sig, id_col, max_bucket_size=max_bucket_size)
+    pairs = minhash_jaccard(sig, cand, id_col).filter(
         F.col("est_jaccard") >= jaccard_threshold
     )
     if verify_exact:

@@ -11,8 +11,71 @@ candidates is pair-local.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+
+def cap_bucket_occupancy(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int | None,
+    what: str = "lsh",
+) -> DataFrame:
+    """Occupancy guard for LSH-style self-joins: a (band, key) bucket
+    holding k rows emits O(k²) candidate pairs, so one degenerate bucket
+    (mass near-identical text that exact-first staging cannot collapse,
+    or all-parallel embeddings) turns the sub-quadratic plan quadratic.
+    Buckets beyond ``cap`` rows are truncated to a deterministic
+    ``cap``-row subset — ordered by xxhash64(bucket key, id), so a
+    duplicate group capped in several bands keeps a DIFFERENT member
+    subset per band, maximizing cross-band linkage of what survives.
+
+    No silent truncation: the guard first runs one map-side-combinable
+    size aggregate over the banded table (the one extra pass is the
+    price of an honest drop count) and logs bucket count / largest
+    bucket / rows dropped at WARNING when it fires.  When no bucket
+    exceeds ``cap`` — every real corpus we have measured — the banded
+    table is returned untouched: no window, no extra shuffle in the
+    join plan.  ``cap=None`` disables the guard entirely.
+
+    Truncation trades recall for a hard runtime bound: members dropped
+    from every bucket of their group stay unlinked (a logged, bounded
+    under-merge).  Pair volume per bucket is bounded by cap²/2."""
+    if cap is None:
+        return banded
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    over = sizes.filter(F.col("_bn") > cap)
+    st = over.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(F.col("_bn") - F.lit(cap)).alias("nd"),
+        F.max("_bn").alias("mx"),
+    ).collect()[0]
+    if not st["nb"]:
+        return banded
+    _LOG.warning(
+        "%s: %d bucket(s) exceed the occupancy cap %d (largest: %d rows); "
+        "dropping %d banded row(s) from candidate generation "
+        "(deterministic per-bucket, per-band top-%d by hashed id). If these "
+        "are genuine duplicates, stage exact dedup first or raise "
+        "max_bucket_size.",
+        what, st["nb"], cap, st["mx"], st["nd"], cap,
+    )
+    hot_keys = F.broadcast(over.select(*key_cols))
+    hot = banded.join(hot_keys, list(key_cols), "left_semi")
+    cold = banded.join(hot_keys, list(key_cols), "left_anti")
+    order = F.xxhash64(*[F.col(c) for c in key_cols], F.col(id_col))
+    w = Window.partitionBy(*key_cols).orderBy(order, F.col(id_col))
+    capped = (
+        hot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return cold.unionByName(capped)
 
 
 def normalized_text(col):
@@ -140,10 +203,15 @@ def minhash_signatures(
 
 
 def lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 4, rows_per_band: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs
-    (a < b).  Equi-join on (band_idx, band_hash)."""
+    (a < b).  Equi-join on (band_idx, band_hash); bucket occupancy
+    bounded by ``max_bucket_size`` (``cap_bucket_occupancy``)."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -151,6 +219,9 @@ def lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bd")
     ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
+    banded = cap_bucket_occupancy(
+        banded, ["band", "bh"], id_col, max_bucket_size, "lsh_candidates"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -250,12 +321,14 @@ def minhash_dedup(
     threshold: float = 0.8,
     n_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates → signature-Jaccard ≥ threshold →
     drop the larger id of each duplicate pair (single-link, one hop —
     transitive chains collapse over repeated application)."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
-    pairs = lsh_candidates(sig, id_col, bands, n_hashes // bands)
+    pairs = lsh_candidates(sig, id_col, bands, n_hashes // bands,
+                           max_bucket_size=max_bucket_size)
     dups = minhash_jaccard(sig, pairs, id_col, n_hashes).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -296,7 +369,7 @@ def simhash64(text_col):
 
 def simhash_near_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
     any pair within Hamming distance 3 shares at least one band
@@ -332,6 +405,9 @@ def simhash_near_dups(
             )
         ).alias("bd"),
     ).select(id_col, "sh", F.col("bd.band").alias("band"), F.col("bd.bk").alias("bk"))
+    bands = cap_bucket_occupancy(
+        bands, ["band", "bk"], id_col, max_bucket_size, "simhash_near_dups"
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

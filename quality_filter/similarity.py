@@ -92,11 +92,17 @@ def embedding_near_dups(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold):
     SRP-LSH self-join candidates, exact cosine verify.  Near-identical
     vectors collide in every table, so recall at high thresholds is ~1
-    while the join stays sub-quadratic."""
+    while the join stays sub-quadratic.  Bucket occupancy is bounded by
+    ``max_bucket_size`` (``dedup.cap_bucket_occupancy``) — a corpus of
+    near-parallel embeddings would otherwise make one (table, bucket)
+    key quadratic."""
+    from quality_filter.dedup import cap_bucket_occupancy
+
     tables = [_hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
     renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     parts = [
@@ -105,6 +111,9 @@ def embedding_near_dups(
     ]
     b = renamed.select("id", "v", F.explode(F.array(*parts)).alias("bd")).select(
         "id", "v", F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk")
+    )
+    b = cap_bucket_occupancy(
+        b, ["tbl", "bk"], "id", max_bucket_size, "embedding_near_dups"
     )
     x, y = b.alias("x"), b.alias("y")
     cand = (
@@ -138,6 +147,7 @@ def semantic_dedup(
     n_tables: int = 4,
     seed: int = 42,
     algorithm: str = "propagation",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -156,6 +166,7 @@ def semantic_dedup(
     pairs = embedding_near_dups(
         df, threshold=threshold, id_col=id_col, vec_col=vec_col,
         dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
+        max_bucket_size=max_bucket_size,
     ).select("a", "b")
     return cluster_dedup(df, pairs, id_col=id_col, algorithm=algorithm)
 

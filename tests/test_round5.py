@@ -132,3 +132,94 @@ def test_bround9_oracle_matches_spark(spark):
         con.sql(f"SELECT {bround_sql(repr(v), 9)}").fetchone()[0] for v in vals
     ]
     assert got == want
+
+
+# -- LSH bucket-occupancy guard (VERDICT r4 #3) ------------------------------
+
+def _degenerate_docs(spark, n=240):
+    """Near-identical (NOT exact-duplicate) corpus: every doc shares one
+    long boilerplate body plus a unique trailing token, so exact-first
+    staging cannot collapse it and every minhash band bucket holds all
+    n docs — the O(k²) blowup class from BENCH/r4_cluster_scale.py."""
+    body = " ".join(f"w{i % 7}x{i % 11}" for i in range(60))
+    rows = [(i, f"{body} uniq{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_candidates_bucket_cap_bounds_pairs(spark, caplog):
+    import logging
+
+    from quality_filter.dedup import lsh_candidates, minhash_signatures
+
+    docs = _degenerate_docs(spark)
+    sig = minhash_signatures(docs, "doc_id", "text")
+    with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
+        capped = lsh_candidates(sig, "doc_id", max_bucket_size=50)
+        n_capped = capped.count()
+    # 4 bands x C(50,2) upper bound vs C(240,2)=28,680 uncapped per band
+    assert 0 < n_capped <= 4 * (50 * 49) // 2
+    assert any("occupancy cap" in r.message for r in caplog.records)
+    assert any("dropping" in r.message for r in caplog.records)
+
+
+def test_bucket_cap_noop_when_buckets_small(spark, caplog):
+    import logging
+
+    from quality_filter.dedup import lsh_candidates, minhash_signatures
+
+    rows = [(i, f"alpha bravo charlie delta echo{i} foxtrot{i * 7} golf{i * 13}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
+        base = {tuple(r) for r in lsh_candidates(sig, max_bucket_size=None).collect()}
+        guarded = {tuple(r) for r in lsh_candidates(sig, max_bucket_size=50).collect()}
+    assert guarded == base
+    assert not any("occupancy cap" in r.message for r in caplog.records)
+
+
+def test_bucket_cap_kept_subset_is_linkable_and_deterministic(spark):
+    """Capped bucket keeps a deterministic subset; the kept rows still
+    pair with each other, and two runs agree bit-for-bit."""
+    from quality_filter.dedup import lsh_candidates, minhash_signatures
+
+    docs = _degenerate_docs(spark, n=120)
+    sig = minhash_signatures(docs, "doc_id", "text")
+    p1 = sorted(tuple(r) for r in lsh_candidates(sig, max_bucket_size=30).collect())
+    p2 = sorted(tuple(r) for r in lsh_candidates(sig, max_bucket_size=30).collect())
+    assert p1 == p2 and len(p1) > 0
+
+
+def test_embedding_near_dups_bucket_cap(spark, caplog):
+    import logging
+
+    from quality_filter.similarity import embedding_near_dups
+
+    # 150 exactly-parallel vectors (scaled copies): one SRP bucket per
+    # table holds all of them -> quadratic without the guard
+    base = [float((j * 37 + 11) % 19) - 9.0 for j in range(64)]
+    rows = [(i, [x * (1.0 + i) for x in base]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
+        pairs = embedding_near_dups(df, threshold=0.99, max_bucket_size=25)
+        n = pairs.count()
+    assert 0 < n <= 4 * (25 * 24) // 2
+    assert any("embedding_near_dups" in r.message for r in caplog.records)
+
+
+def test_simhash_near_dups_bucket_cap(spark, caplog):
+    import logging
+
+    from quality_filter.dedup import simhash_near_dups
+
+    docs = _degenerate_docs(spark, n=100)
+    n_uncapped = simhash_near_dups(docs, max_hamming=8,
+                                   max_bucket_size=None).count()
+    with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
+        out = simhash_near_dups(docs, max_hamming=8, max_bucket_size=20)
+        n = out.count()
+    # near-identical simhashes spread over a handful of band keys, each
+    # capped to 20 rows — pair volume must drop well below the uncapped
+    # blowup (and every bucket contributes at most C(20,2) per band key)
+    assert 0 < n < n_uncapped
+    assert any("simhash_near_dups" in r.message for r in caplog.records)
