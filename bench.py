@@ -153,6 +153,25 @@ def main() -> None:
     if stage != "full":
         out["stage"] = stage
     spark.stop()
+    # full artifact alongside the one-line driver contract: the driver's
+    # BENCH_r0N.json keeps only a stdout tail, so round-over-round
+    # per-query regression diffs need the complete medians table as a
+    # committed file (VERDICT r4 #4)
+    full = dict(out)
+    full["config"] = {
+        "sf_dir": SF_DIR,
+        "n_convs": N_CONVS,
+        "reps_headline": reps,
+        "query_reps": int(os.environ.get("BENCH_QUERY_REPS", "3")),
+        "slow_cap_s": float(os.environ.get("BENCH_SLOW_CAP_S", "5.0")),
+        "langid_impl": os.environ.get("BENCH_LANGID_IMPL", "udf"),
+        "headline_runs": [round(s, 3) for s, _ in results],
+    }
+    artifact = Path(__file__).resolve().parent / "BENCH" / "last_run_full.json"
+    try:
+        artifact.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+    except OSError:
+        pass  # read-only checkout must not break the driver contract
     print(json.dumps(out))
 
 

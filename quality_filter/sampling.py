@@ -16,14 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MIX = 2654435761  # Knuth multiplicative hash constant
+from quality_filter.guards import MAX_DRIVER_CARDINALITY, bounded_collect
 
-# Distinct-value ceiling for the driver-side collects below (domain /
-# label vocabularies).  These operators assume a BOUNDED vocabulary —
-# mixture domains are data sources (dozens), labels are the fixed
-# 9-label taxonomy; the guard turns an unbounded-cardinality misuse into
-# a loud error instead of an unbounded driver pull.
-MAX_DRIVER_CARDINALITY = 100_000
+_MIX = 2654435761  # Knuth multiplicative hash constant
 
 
 def deterministic_bucket(key, buckets: int = 1000):
@@ -53,18 +48,9 @@ def bucket_sql(key: str, buckets: int = 1000) -> str:
     )
 
 
-def _bounded_collect(df: DataFrame, what: str) -> list:
-    """Collect a small aggregate to the driver with a cardinality guard
-    (legitimate control-flow pull — thresholds, vocabularies — never
-    data)."""
-    rows = df.limit(MAX_DRIVER_CARDINALITY + 1).collect()
-    if len(rows) > MAX_DRIVER_CARDINALITY:
-        raise ValueError(
-            f"{what} exceeds {MAX_DRIVER_CARDINALITY} distinct values — "
-            "this operator assumes a bounded vocabulary (data sources / "
-            "label taxonomy); use a join-based formulation for unbounded keys"
-        )
-    return rows
+# shared guard (quality_filter.guards) re-exported under the historical
+# local name — all vocabulary pulls in this module go through it
+_bounded_collect = bounded_collect
 
 
 def deterministic_split(

@@ -126,6 +126,7 @@ def stream_trim_stateful(
     max_files_per_trigger: int | None = None,
     drain_idle_batches: int = 3,
     drain_timeout_s: float = 600.0,
+    max_turns_per_conv: int = 100_000,
 ):
     """Conversation-boundary-SAFE streaming trim: closes ``stream_clean``'s
     caveat (turns of one conversation straddling micro-batches) with
@@ -146,6 +147,18 @@ def stream_trim_stateful(
     micro-batch than every turn it closes (file sources process files by
     modification time — emit the marker file last, or rely on the idle
     timeout, which tolerates any order at the cost of latency).
+
+    State-size bound: buffered state is O(turns per open conversation) —
+    the same bound the batch window gate has, but here it lives in the
+    state store until the conversation closes.  ``max_turns_per_conv``
+    caps it: a conversation that exceeds the cap keeps only its
+    ``max_turns_per_conv`` LOWEST turn_idx turns (deterministic given
+    the data, independent of arrival order) and the overflow is dropped
+    — mirroring the batch path's salting story
+    (``pipeline.reassemble_salted``), where pathological million-turn
+    "conversations" are treated as bounded segments rather than allowed
+    to take down a task.  A 10^7-turn conversation therefore costs at
+    most cap-sized state, not an OOM.
     """
     import pandas as pd
 
@@ -199,6 +212,15 @@ def stream_trim_stateful(
                 tx.append(row.text)
                 lb.append(row.label)
                 sc.append(row.clean_score)
+        if len(ti) > max_turns_per_conv:
+            # state-size guard: keep the lowest-turn_idx window (sorted
+            # once at overflow, deterministic regardless of arrival order)
+            order = sorted(range(len(ti)), key=lambda i: ti[i])
+            keep_idx = order[:max_turns_per_conv]
+            ti = [ti[i] for i in keep_idx]
+            tx = [tx[i] for i in keep_idx]
+            lb = [lb[i] for i in keep_idx]
+            sc = [sc[i] for i in keep_idx]
         if finished:
             order = sorted(range(len(ti)), key=lambda i: ti[i])
             labels = [lb[i] for i in order]

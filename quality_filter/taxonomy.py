@@ -93,9 +93,16 @@ def apply_label_map(
 
 
 def class_weights(df: DataFrame, label_col: str = "label") -> dict[str, float]:
-    """G5: n_samples / (n_classes * count_per_class)."""
-    counts = {r[label_col]: r["n"] for r in
-              df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()}
+    """G5: n_samples / (n_classes * count_per_class)
+    (``src/train_classifier.py:98-106``).  The per-class counts are a
+    vocabulary-style driver pull — bounded by the label taxonomy — so the
+    collect goes through the shared cardinality guard."""
+    from quality_filter.guards import bounded_collect
+
+    counts = {r[label_col]: r["n"] for r in bounded_collect(
+        df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")),
+        f"label column {label_col!r}",
+    )}
     n_samples = sum(counts.values())
     n_classes = len(counts)
     return {lab: n_samples / (n_classes * c) for lab, c in counts.items()}

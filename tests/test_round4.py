@@ -113,9 +113,10 @@ def test_mixture_single_scan_and_parity(spark):
 
 
 def test_bounded_cardinality_guard(spark, monkeypatch):
+    import quality_filter.guards as G
     import quality_filter.sampling as S
 
-    monkeypatch.setattr(S, "MAX_DRIVER_CARDINALITY", 10)
+    monkeypatch.setattr(G, "MAX_DRIVER_CARDINALITY", 10)
     df = spark.createDataFrame(
         [(i, f"d{i}") for i in range(25)], "doc_id long, source string"
     )

@@ -223,3 +223,158 @@ def test_simhash_near_dups_bucket_cap(spark, caplog):
     # blowup (and every bucket contributes at most C(20,2) per band key)
     assert 0 < n < n_uncapped
     assert any("simhash_near_dups" in r.message for r in caplog.records)
+
+
+# -- class_weights goes through the shared cardinality guard -----------------
+
+def test_class_weights_bounded_guard(spark, monkeypatch):
+    import quality_filter.guards as G
+    from quality_filter.taxonomy import class_weights
+
+    monkeypatch.setattr(G, "MAX_DRIVER_CARDINALITY", 10)
+    ok = spark.createDataFrame([(f"l{i % 3}",) for i in range(30)], "label string")
+    w = class_weights(ok)
+    assert set(w) == {"l0", "l1", "l2"}
+    assert w["l0"] == pytest.approx(30 / (3 * 10))
+    bad = spark.createDataFrame([(f"l{i}",) for i in range(25)], "label string")
+    with pytest.raises(ValueError, match="bounded vocabulary"):
+        class_weights(bad)
+
+
+# -- streaming trim: state-size guard ----------------------------------------
+
+def test_stream_trim_max_turns_guard(spark, tmpdir):
+    """A conversation past max_turns_per_conv keeps only its lowest-
+    turn_idx window in state; trim then runs on that window."""
+    import datetime
+
+    from quality_filter.streaming import END_MARKER_ROLE, stream_trim_stateful
+
+    inp, outp, ckpt = f"{tmpdir}/in", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    ts = datetime.datetime(2024, 1, 1)
+    good = "This is a perfectly reasonable sentence for training."
+    junk = "$$$$$$$$"
+    rows = [("big", 0, "user", junk, None, ts)]
+    rows += [("big", i, "user", good, None, ts) for i in range(1, 9)]
+    rows += [("big", 9, "user", junk, None, ts)]          # would be trimmed
+    rows += [("big", 99, END_MARKER_ROLE, "", None, ts)]
+    cols = ("conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(inp)
+    stream_trim_stateful(spark, inp, outp, ckpt, max_turns_per_conv=6)
+    got = sorted(r["turn_idx"] for r in spark.read.parquet(outp).collect())
+    # guard keeps turns 0..5 (lowest turn_idx); trim then cuts the
+    # leading junk turn 0 and keeps the clean run 1..5
+    assert got == [1, 2, 3, 4, 5]
+
+
+# -- IVF recall floor in the genuinely approximate regime --------------------
+
+def test_ivf_recall_bounds_at_low_nprobe(spark):
+    """ann_ivf_top5's driver row runs nprobe=nlist (exact, oracle-valid);
+    this pins the approximate regime: on a clusterable manifold with
+    cell-boundary queries, recall@5 has a quantified floor at nprobe=1
+    and recovers by nprobe=2 (calibrated: 0.6875 / 1.0 with these seeds)."""
+    import numpy as np
+
+    from quality_filter.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64) * 10
+    pts = [
+        (c * 40 + j, (centers[c] + rng.randn(64)).astype("float32").tolist())
+        for c in range(8)
+        for j in range(40)
+    ]
+    corpus = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    qs = []
+    for i in range(16):
+        a, b = i % 8, (i + 3) % 8
+        mid = (centers[a] + centers[b]) / 2 + rng.randn(64) * 0.5
+        qs.append((10_000 + i, mid.astype("float32").tolist()))
+    queries = spark.createDataFrame(qs, "vec_id long, embedding array<float>")
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk(corpus, queries, k=5))
+
+    def recall(nprobe):
+        approx = topk_sets(
+            ivf_topk(corpus, queries, k=5, nlist=8, nprobe=nprobe, seed=11)
+        )
+        return sum(len(exact[q] & approx.get(q, set())) / 5 for q in exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert 0.5 <= r1 < 1.0, r1   # genuinely approximate, bounded floor
+    assert r2 >= 0.95, r2        # one extra probe recovers the boundary
+    assert r2 >= r1
+
+
+# -- exact-substring dedup: span-merge boundary property ---------------------
+
+def _py_substring_dedup(docs, k=5):
+    """Pure-python Lee-et-al word-grain oracle: mark every word position
+    covered by a NON-CANONICAL duplicated k-gram occurrence (canonical =
+    min (doc_id, pos)); kept words joined by single spaces — adjacent and
+    overlapping marked spans merge by set-union of positions."""
+    occ = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        for p in range(len(ws) - k + 1):
+            occ.setdefault(" ".join(ws[p:p + k]), []).append((did, p))
+    marked = {}
+    for gram, places in occ.items():
+        if len(places) > 1:
+            canon = min(places)
+            for did, p in places:
+                if (did, p) != canon:
+                    for j in range(p, p + k):
+                        marked.setdefault(did, set()).add(j)
+    out = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        kept = [w for i, w in enumerate(ws) if i not in marked.get(did, set())]
+        out[did] = (" ".join(kept), len(ws) - len(kept))
+    return out
+
+
+def test_substring_dedup_span_merge_property(spark):
+    """Adjacent/overlapping duplicated spans merge by position-union and
+    the kept runs join with single-space boundaries — pinned against a
+    pure-python oracle over seeded low-vocab corpora (dense duplicate
+    grams) plus hand fixtures for the overlap/adjacency classes."""
+    import numpy as np
+
+    from quality_filter.dedup import substring_dedup
+
+    docs = []
+    did = 0
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        for _ in range(12):
+            n = rng.randint(6, 20)
+            words = [f"w{rng.randint(0, 6)}" for _ in range(n)]
+            docs.append((did, " ".join(words)))
+            did += 1
+    # hand fixtures: overlapping dups inside one doc, adjacent spans,
+    # whole-doc duplication, and a short (<k words) doc
+    docs += [
+        (9001, "a b c d e f a b c d e f"),        # self-overlap across halves
+        (9002, "a b c d e x a b c d e"),          # adjacent marked runs
+        (9003, "p q r s t u v"),
+        (9004, "p q r s t u v"),                  # exact twin of 9003
+        (9005, "tiny doc"),                       # no k-grams at all
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in substring_dedup(sdf, k=5).collect()
+    }
+    want = _py_substring_dedup(docs, k=5)
+    assert got == want
+    # twin doc fully removed, canonical untouched
+    assert want[9003][1] == 0 and want[9004][1] == 7
