@@ -81,9 +81,13 @@ def consolidate_labels(
 def apply_label_map(
     df: DataFrame, mapping: dict[str, str], label_col: str = "label"
 ) -> DataFrame:
-    """J3: broadcast replacement-map lookup with identity fallback."""
+    """J3: broadcast replacement-map lookup with identity fallback.
+    None keys are skipped (same class of defect as the mixture NULL-
+    domain crash: None breaks the deterministic sort, and
+    ``element_at(map, NULL)`` could never match them anyway — NULL
+    labels fall through to the identity fallback)."""
     pairs = []
-    for k, v in sorted(mapping.items()):
+    for k, v in sorted((k, v) for k, v in mapping.items() if k is not None):
         pairs += [F.lit(k), F.lit(v)]
     m = F.create_map(*pairs) if pairs else F.create_map()
     return df.withColumn(

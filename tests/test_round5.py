@@ -378,3 +378,18 @@ def test_substring_dedup_span_merge_property(spark):
     assert got == want
     # twin doc fully removed, canonical untouched
     assert want[9003][1] == 0 and want[9004][1] == 7
+
+
+# -- apply_label_map: None keys skipped (same class as the mixture fix) ------
+
+def test_apply_label_map_none_key_and_null_label(spark):
+    from quality_filter.taxonomy import apply_label_map
+
+    df = spark.createDataFrame(
+        [("spammy",), ("Clean",), (None,)], "label string"
+    )
+    out = apply_label_map(df, {"spammy": "Spam", None: "X"})
+    got = sorted(
+        (r["label"] is None, r["label"]) for r in out.collect()
+    )
+    assert got == [(False, "Clean"), (False, "Spam"), (True, None)]
