@@ -181,11 +181,22 @@ def lsh_ann_topk(
     n_bits: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing an SRP
     bucket with the query in ANY of ``n_tables`` tables, then exact
     cosine rerank.  Join is an equi-join on (table, bucket) — shuffle
-    scales with bucket occupancy, not |corpus|×|queries|."""
+    scales with bucket occupancy, not |corpus|×|queries|.
+
+    ``max_bucket_size`` optionally caps CORPUS-side bucket occupancy
+    (``dedup.cap_bucket_occupancy``) — default OFF here, unlike the
+    self-join operators: the blowup is bounded by |queries| (broadcast,
+    small) × occupancy rather than occupancy², and truncating corpus
+    buckets silently lowers recall for queries landing in them.  Enable
+    it when indexing corpora that may contain mass-duplicated
+    embeddings."""
+    from quality_filter.dedup import cap_bucket_occupancy
+
     tables = [
         _hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -203,6 +214,9 @@ def lsh_ann_topk(
         ).select(ident, vname, F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk"))
 
     cb = bucketize(corpus, "neighbor_id", "cv")
+    cb = cap_bucket_occupancy(
+        cb, ["tbl", "bk"], "neighbor_id", max_bucket_size, "lsh_ann_topk"
+    )
     qb = bucketize(queries, "query_id", "qv")
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bk"])
