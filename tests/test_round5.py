@@ -393,3 +393,22 @@ def test_apply_label_map_none_key_and_null_label(spark):
         (r["label"] is None, r["label"]) for r in out.collect()
     )
     assert got == [(False, "Clean"), (False, "Spam"), (True, None)]
+
+
+def test_bucket_cap_output_is_subset_of_uncapped(spark):
+    """Capped candidate pairs are always a subset of the uncapped set
+    (the guard only removes candidacy, never invents pairs), on a mixed
+    corpus with one degenerate group plus unique docs."""
+    from quality_filter.dedup import lsh_candidates, minhash_signatures
+
+    body = " ".join(f"w{i % 7}x{i % 11}" for i in range(60))
+    rows = [(i, f"{body} uniq{i}") for i in range(80)]
+    rows += [(500 + i, f"doc {i} " + " ".join(f"q{i}r{j}" for j in range(25)))
+             for i in range(40)]
+    sig = minhash_signatures(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    uncapped = {tuple(r) for r in lsh_candidates(sig, max_bucket_size=None).collect()}
+    capped = {tuple(r) for r in lsh_candidates(sig, max_bucket_size=25).collect()}
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped)
