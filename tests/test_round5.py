@@ -412,3 +412,27 @@ def test_bucket_cap_output_is_subset_of_uncapped(spark):
     capped = {tuple(r) for r in lsh_candidates(sig, max_bucket_size=25).collect()}
     assert capped <= uncapped
     assert len(capped) < len(uncapped)
+
+
+def test_span_marks_strategies_identical(spark):
+    """'window' (lead-based, codegen) and 'hof' (narrow string-building)
+    gram strategies must produce identical marked positions — including
+    short/empty/NULL docs and duplicate-dense text."""
+    from quality_filter.dedup import duplicated_span_marks
+
+    rows = [
+        (1, "a b c d e f g a b c d e f g"),
+        (2, "a b c d e x y z"),
+        (3, "short doc"),
+        (4, ""),
+        (5, None),
+        (6, "x y z a b c d e q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    win = {(r["doc_id"], r["wpos"])
+           for r in duplicated_span_marks(df, grams="window").collect()}
+    hof = {(r["doc_id"], r["wpos"])
+           for r in duplicated_span_marks(df, grams="hof").collect()}
+    assert win == hof and len(win) > 0
+    with pytest.raises(ValueError, match="grams strategy"):
+        duplicated_span_marks(df, grams="bogus").collect()
