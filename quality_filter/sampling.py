@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from quality_filter.guards import MAX_DRIVER_CARDINALITY, bounded_collect
+from quality_filter.guards import bounded_collect
 
 _MIX = 2654435761  # Knuth multiplicative hash constant
 
@@ -49,7 +49,9 @@ def bucket_sql(key: str, buckets: int = 1000) -> str:
 
 
 # shared guard (quality_filter.guards) re-exported under the historical
-# local name — all vocabulary pulls in this module go through it
+# local name — all vocabulary pulls in this module go through it.  The
+# cardinality ceiling is the single knob ``guards.MAX_DRIVER_CARDINALITY``
+# (read at call time; patch it THERE — a by-value copy here would be dead).
 _bounded_collect = bounded_collect
 
 
@@ -98,7 +100,7 @@ def stratified_split_sampled(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """R2 sampled variant: per-label fractions via sampleBy, remainder by
     anti-join on a row fingerprint.  Label vocabulary must be bounded
-    (≤ ``MAX_DRIVER_CARDINALITY``) — the per-label fraction map is driver
+    (≤ ``guards.MAX_DRIVER_CARDINALITY``) — the per-label fraction map is driver
     state by construction (``sampleBy`` takes a dict)."""
     labels = [
         r[label_col]
@@ -151,7 +153,7 @@ def mixture_resample(
     Scale: ONE map-side-combinable count aggregate over the corpus (the
     total is the sum of the per-domain counts — no second corpus scan);
     the per-domain rows come back to the driver (bounded — domains are
-    data sources, guarded by ``MAX_DRIVER_CARDINALITY``), thresholds are
+    data sources, guarded by ``guards.MAX_DRIVER_CARDINALITY``), thresholds are
     computed with exact arbitrary-precision Python integers (no wrap at
     any corpus size), and selection is a broadcast join + narrow filter —
     no corpus shuffle."""
