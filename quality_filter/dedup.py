@@ -25,6 +25,7 @@ def cap_bucket_occupancy(
     id_col: str,
     cap: int | None,
     what: str = "lsh",
+    log_drops: bool = False,
 ) -> DataFrame:
     """Occupancy guard for LSH-style self-joins: a (band, key) bucket
     holding k rows emits O(k²) candidate pairs, so one degenerate bucket
@@ -35,55 +36,60 @@ def cap_bucket_occupancy(
     duplicate group capped in several bands keeps a DIFFERENT member
     subset per band, maximizing cross-band linkage of what survives.
 
-    No silent truncation: the guard first runs one map-side-combinable
-    size aggregate over the banded table and logs bucket count / largest
-    bucket / rows dropped at WARNING when it fires.  To keep that honest
-    drop count from doubling the banded lineage's cost, the banded table
-    is ``localCheckpoint``ed (MEMORY_AND_DISK, spillable) before the
-    stats pass — the size aggregate AND the downstream self-join then
-    read one materialization instead of each recomputing the signature/
-    projection stage (measured at sf0.1: overhead 85% → ~0 on the
-    minhash path).  Same staging trade ``cluster.connected_components``
-    already makes; at cluster scale the banded table is corpus×bands
-    narrow rows, disk-backed.  When no bucket exceeds ``cap`` — every
-    real corpus we have measured — the checkpointed table is returned
-    untouched: no window, no extra shuffle in the join plan.
-    ``cap=None`` disables the guard (and the checkpoint) entirely.
+    The guard is FULLY LAZY: one ``row_number`` window partitioned by the
+    bucket key, filtered to ``cap``.  The window's exchange hash-partitions
+    on exactly the key the downstream candidate equi-join shuffles on, so
+    Catalyst satisfies the join's distribution from the window's output
+    (and reuses the exchange across the self-join's two sides) — the
+    guard's marginal cost is one per-partition sort piggybacked on a
+    shuffle the join pays anyway.  No job runs at plan-construction time,
+    nothing is checkpointed or cached: lineage stays intact, so executor
+    loss (spot nodes / dynamic allocation) recomputes instead of failing,
+    and repeated calls leak no storage.  (The previous design eagerly
+    ``localCheckpoint``ed the banded table for an always-on stats pass —
+    both hazards flagged and removed.)
+
+    Drop accounting is opt-in (``log_drops=True``): a diagnostic action
+    that scans the banded lineage once more and WARNs with bucket count /
+    largest bucket / rows dropped.  It recomputes the banded plan (cost:
+    one extra pass, nothing persisted) — wire it to a debug flag, not the
+    hot path.
 
     Truncation trades recall for a hard runtime bound: members dropped
-    from every bucket of their group stay unlinked (a logged, bounded
-    under-merge).  Pair volume per bucket is bounded by cap²/2."""
+    from every bucket of their group stay unlinked (a bounded
+    under-merge, logged when ``log_drops`` is on).  Pair volume per
+    bucket is bounded by cap²/2.  ``cap=None`` disables the guard; the
+    survivor set for any cap is identical to the previous eager design
+    (same deterministic ordering key)."""
     if cap is None:
         return banded
-    banded = banded.localCheckpoint(eager=True)
-    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
-    over = sizes.filter(F.col("_bn") > cap)
-    st = over.agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.sum(F.col("_bn") - F.lit(cap)).alias("nd"),
-        F.max("_bn").alias("mx"),
-    ).collect()[0]
-    if not st["nb"]:
-        return banded
-    _LOG.warning(
-        "%s: %d bucket(s) exceed the occupancy cap %d (largest: %d rows); "
-        "dropping %d banded row(s) from candidate generation "
-        "(deterministic per-bucket, per-band top-%d by hashed id). If these "
-        "are genuine duplicates, stage exact dedup first or raise "
-        "max_bucket_size.",
-        what, st["nb"], cap, st["mx"], st["nd"], cap,
-    )
-    hot_keys = F.broadcast(over.select(*key_cols))
-    hot = banded.join(hot_keys, list(key_cols), "left_semi")
-    cold = banded.join(hot_keys, list(key_cols), "left_anti")
+    if log_drops:
+        sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
+        st = (
+            sizes.filter(F.col("_bn") > cap)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.sum(F.col("_bn") - F.lit(cap)).alias("nd"),
+                F.max("_bn").alias("mx"),
+            )
+            .collect()[0]
+        )
+        if st["nb"]:
+            _LOG.warning(
+                "%s: %d bucket(s) exceed the occupancy cap %d (largest: %d "
+                "rows); dropping %d banded row(s) from candidate generation "
+                "(deterministic per-bucket, per-band top-%d by hashed id). "
+                "If these are genuine duplicates, stage exact dedup first "
+                "or raise max_bucket_size.",
+                what, st["nb"], cap, st["mx"], st["nd"], cap,
+            )
     order = F.xxhash64(*[F.col(c) for c in key_cols], F.col(id_col))
     w = Window.partitionBy(*key_cols).orderBy(order, F.col(id_col))
-    capped = (
-        hot.withColumn("_rn", F.row_number().over(w))
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
-    return cold.unionByName(capped)
 
 
 def normalized_text(col):
@@ -216,10 +222,13 @@ def lsh_candidates(
     bands: int = 4,
     rows_per_band: int = 4,
     max_bucket_size: int | None = 1000,
+    log_bucket_drops: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs
     (a < b).  Equi-join on (band_idx, band_hash); bucket occupancy
-    bounded by ``max_bucket_size`` (``cap_bucket_occupancy``)."""
+    bounded by ``max_bucket_size`` (``cap_bucket_occupancy`` — lazy;
+    set ``log_bucket_drops`` for an audited extra pass that WARNs with
+    drop counts)."""
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -228,7 +237,8 @@ def lsh_candidates(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bd")
     ).select(id_col, F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"))
     banded = cap_bucket_occupancy(
-        banded, ["band", "bh"], id_col, max_bucket_size, "lsh_candidates"
+        banded, ["band", "bh"], id_col, max_bucket_size, "lsh_candidates",
+        log_drops=log_bucket_drops,
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -330,13 +340,15 @@ def minhash_dedup(
     n_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = 1000,
+    log_bucket_drops: bool = False,
 ) -> DataFrame:
     """Near-dup removal: LSH candidates → signature-Jaccard ≥ threshold →
     drop the larger id of each duplicate pair (single-link, one hop —
     transitive chains collapse over repeated application)."""
     sig = minhash_signatures(df, id_col, text_col, n_hashes)
     pairs = lsh_candidates(sig, id_col, bands, n_hashes // bands,
-                           max_bucket_size=max_bucket_size)
+                           max_bucket_size=max_bucket_size,
+                           log_bucket_drops=log_bucket_drops)
     dups = minhash_jaccard(sig, pairs, id_col, n_hashes).filter(
         F.col("est_jaccard") >= threshold
     )
@@ -378,6 +390,7 @@ def simhash64(text_col):
 def simhash_near_dups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3, max_bucket_size: int | None = 1000,
+    log_bucket_drops: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
     any pair within Hamming distance 3 shares at least one band
@@ -414,7 +427,8 @@ def simhash_near_dups(
         ).alias("bd"),
     ).select(id_col, "sh", F.col("bd.band").alias("band"), F.col("bd.bk").alias("bk"))
     bands = cap_bucket_occupancy(
-        bands, ["band", "bk"], id_col, max_bucket_size, "simhash_near_dups"
+        bands, ["band", "bk"], id_col, max_bucket_size, "simhash_near_dups",
+        log_drops=log_bucket_drops,
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

@@ -93,6 +93,7 @@ def embedding_near_dups(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
+    log_bucket_drops: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold):
     SRP-LSH self-join candidates, exact cosine verify.  Near-identical
@@ -100,7 +101,16 @@ def embedding_near_dups(
     while the join stays sub-quadratic.  Bucket occupancy is bounded by
     ``max_bucket_size`` (``dedup.cap_bucket_occupancy``) — a corpus of
     near-parallel embeddings would otherwise make one (table, bucket)
-    key quadratic."""
+    key quadratic.
+
+    Shuffle layout: the banded table drops the vector right after the
+    bucket projection, so the LSH self-join, the occupancy window and the
+    cross-table ``distinct`` all shuffle (id, tbl, bk) rows — at
+    production dims the vector payload is 10-100× the id, and a pair
+    colliding in several tables would otherwise ship its vectors once per
+    collision.  Embeddings are re-attached to the DEDUPED pair list by
+    two id-equi-joins against the corpus (each corpus vector crosses the
+    wire once per side it appears on, not once per collision)."""
     from quality_filter.dedup import cap_bucket_occupancy
 
     tables = [_hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
@@ -109,28 +119,27 @@ def embedding_near_dups(
         F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col("v"), planes).alias("bk"))
         for t, planes in enumerate(tables)
     ]
-    b = renamed.select("id", "v", F.explode(F.array(*parts)).alias("bd")).select(
-        "id", "v", F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk")
+    b = renamed.select("id", F.explode(F.array(*parts)).alias("bd")).select(
+        "id", F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk")
     )
     b = cap_bucket_occupancy(
-        b, ["tbl", "bk"], "id", max_bucket_size, "embedding_near_dups"
+        b, ["tbl", "bk"], "id", max_bucket_size, "embedding_near_dups",
+        log_drops=log_bucket_drops,
     )
     x, y = b.alias("x"), b.alias("y")
-    cand = (
+    ids = (
         x.join(
             y,
             (F.col("x.tbl") == F.col("y.tbl"))
             & (F.col("x.bk") == F.col("y.bk"))
             & (F.col("x.id") < F.col("y.id")),
         )
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            F.col("x.v").alias("va"),
-            F.col("y.v").alias("vb"),
-        )
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
+    va = renamed.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = renamed.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    cand = ids.join(va, "a").join(vb, "b")
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return cand.select("a", "b", cos.alias("cosine")).filter(
         F.col("cosine") >= threshold
@@ -148,6 +157,7 @@ def semantic_dedup(
     seed: int = 42,
     algorithm: str = "propagation",
     max_bucket_size: int | None = 1000,
+    log_bucket_drops: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -166,7 +176,7 @@ def semantic_dedup(
     pairs = embedding_near_dups(
         df, threshold=threshold, id_col=id_col, vec_col=vec_col,
         dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed,
-        max_bucket_size=max_bucket_size,
+        max_bucket_size=max_bucket_size, log_bucket_drops=log_bucket_drops,
     ).select("a", "b")
     return cluster_dedup(df, pairs, id_col=id_col, algorithm=algorithm)
 
@@ -194,36 +204,44 @@ def lsh_ann_topk(
     small) × occupancy rather than occupancy², and truncating corpus
     buckets silently lowers recall for queries landing in them.  Enable
     it when indexing corpora that may contain mass-duplicated
-    embeddings."""
+    embeddings.
+
+    Shuffle layout: bucketized rows carry ids only — the multi-table
+    collision ``distinct`` dedupes narrow (query_id, neighbor_id) pairs;
+    vectors re-attach afterwards (query side via broadcast, corpus side
+    via one id-equi-join), so no shuffle ships a vector more than once."""
     from quality_filter.dedup import cap_bucket_occupancy
 
     tables = [
         _hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)
     ]
 
-    def bucketize(df, ident, vname):
+    def bucketize(df, ident):
         renamed = df.select(
-            F.col(id_col).alias(ident), F.col(vec_col).alias(vname)
+            F.col(id_col).alias(ident), F.col(vec_col).alias("_v")
         )
         parts = [
-            F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col(vname), planes).alias("bk"))
+            F.struct(F.lit(t).alias("tbl"), srp_bucket(F.col("_v"), planes).alias("bk"))
             for t, planes in enumerate(tables)
         ]
         return renamed.select(
-            ident, vname, F.explode(F.array(*parts)).alias("bd")
-        ).select(ident, vname, F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk"))
+            ident, F.explode(F.array(*parts)).alias("bd")
+        ).select(ident, F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk"))
 
-    cb = bucketize(corpus, "neighbor_id", "cv")
+    cb = bucketize(corpus, "neighbor_id")
     cb = cap_bucket_occupancy(
         cb, ["tbl", "bk"], "neighbor_id", max_bucket_size, "lsh_ann_topk"
     )
-    qb = bucketize(queries, "query_id", "qv")
-    cand = (
+    qb = bucketize(queries, "query_id")
+    ids = (
         cb.join(F.broadcast(qb), ["tbl", "bk"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = ids.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

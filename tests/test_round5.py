@@ -154,7 +154,8 @@ def test_lsh_candidates_bucket_cap_bounds_pairs(spark, caplog):
     docs = _degenerate_docs(spark)
     sig = minhash_signatures(docs, "doc_id", "text")
     with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
-        capped = lsh_candidates(sig, "doc_id", max_bucket_size=50)
+        capped = lsh_candidates(sig, "doc_id", max_bucket_size=50,
+                                log_bucket_drops=True)
         n_capped = capped.count()
     # 4 bands x C(50,2) upper bound vs C(240,2)=28,680 uncapped per band
     assert 0 < n_capped <= 4 * (50 * 49) // 2
@@ -201,7 +202,8 @@ def test_embedding_near_dups_bucket_cap(spark, caplog):
     rows = [(i, [x * (1.0 + i) for x in base]) for i in range(150)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
-        pairs = embedding_near_dups(df, threshold=0.99, max_bucket_size=25)
+        pairs = embedding_near_dups(df, threshold=0.99, max_bucket_size=25,
+                                    log_bucket_drops=True)
         n = pairs.count()
     assert 0 < n <= 4 * (25 * 24) // 2
     assert any("embedding_near_dups" in r.message for r in caplog.records)
@@ -216,7 +218,8 @@ def test_simhash_near_dups_bucket_cap(spark, caplog):
     n_uncapped = simhash_near_dups(docs, max_hamming=8,
                                    max_bucket_size=None).count()
     with caplog.at_level(logging.WARNING, logger="quality_filter.dedup"):
-        out = simhash_near_dups(docs, max_hamming=8, max_bucket_size=20)
+        out = simhash_near_dups(docs, max_hamming=8, max_bucket_size=20,
+                                log_bucket_drops=True)
         n = out.count()
     # near-identical simhashes spread over a handful of band keys, each
     # capped to 20 rows — pair volume must drop well below the uncapped
