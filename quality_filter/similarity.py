@@ -111,7 +111,7 @@ def embedding_near_dups(
     collision.  Embeddings are re-attached to the DEDUPED pair list by
     two id-equi-joins against the corpus (each corpus vector crosses the
     wire once per side it appears on, not once per collision)."""
-    from quality_filter.dedup import cap_bucket_occupancy
+    from quality_filter.dedup import bucket_pairs
 
     tables = [_hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
     renamed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -122,20 +122,9 @@ def embedding_near_dups(
     b = renamed.select("id", F.explode(F.array(*parts)).alias("bd")).select(
         "id", F.col("bd.tbl").alias("tbl"), F.col("bd.bk").alias("bk")
     )
-    b = cap_bucket_occupancy(
+    ids = bucket_pairs(
         b, ["tbl", "bk"], "id", max_bucket_size, "embedding_near_dups",
         log_drops=log_bucket_drops,
-    )
-    x, y = b.alias("x"), b.alias("y")
-    ids = (
-        x.join(
-            y,
-            (F.col("x.tbl") == F.col("y.tbl"))
-            & (F.col("x.bk") == F.col("y.bk"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
     )
     va = renamed.select(F.col("id").alias("a"), F.col("v").alias("va"))
     vb = renamed.select(F.col("id").alias("b"), F.col("v").alias("vb"))
