@@ -102,3 +102,58 @@ def test_lsh_ann_topk_narrow_matches_bruteforce(spark):
     out = lsh_ann_topk(corpus, queries, k=1).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert top1 == {1000 + i: i for i in range(5)}
+
+
+# -- substring dedup: segment-salted window strategy (giant-doc skew) --------
+
+def test_segmented_window_marks_match_hof_across_boundaries(spark):
+    """With segment_size smaller than the documents, every gram class —
+    interior, segment-boundary-straddling, trailing — must still match
+    the segment-free 'hof' strategy exactly."""
+    import numpy as np
+
+    from quality_filter.dedup import duplicated_span_marks
+
+    rng = np.random.RandomState(3)
+    docs = []
+    for did in range(30):
+        n = rng.randint(15, 60)
+        docs.append((did, " ".join(f"v{rng.randint(0, 8)}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for seg in (7, 16, 64):
+        win = {(r["doc_id"], r["wpos"])
+               for r in duplicated_span_marks(
+                   df, grams="window", segment_size=seg).collect()}
+        hof = {(r["doc_id"], r["wpos"])
+               for r in duplicated_span_marks(df, grams="hof").collect()}
+        assert win == hof, f"segment_size={seg}"
+    assert len(hof) > 0
+
+
+def test_substring_dedup_giant_doc_segmented(spark):
+    """A planted giant document (50k words, far beyond segment_size) runs
+    through the window strategy as many bounded sort groups, and the
+    two-level reassembly reproduces the hof-strategy output exactly."""
+    import numpy as np
+
+    from quality_filter.dedup import substring_dedup
+
+    rng = np.random.RandomState(9)
+    giant = " ".join(f"g{rng.randint(0, 5000)}" for _ in range(50_000))
+    docs = [(1, giant), (2, "a b c d e f g h"), (3, "a b c d e f g h")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    win = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in substring_dedup(df, k=5, segment_size=512).collect()}
+    hof = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in substring_dedup(df, k=5, grams="hof").collect()}
+    assert win == hof
+    assert win[3][1] == 8 and win[2][1] == 0  # twin removed, canonical kept
+
+
+def test_segment_size_must_cover_k(spark):
+    from quality_filter.dedup import duplicated_span_marks
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="segment_size"):
+        duplicated_span_marks(df, k=5, segment_size=3).collect()
