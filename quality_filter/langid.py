@@ -101,38 +101,53 @@ SEED_CORPORA: dict[str, list[str]] = {
 
 
 def build_artifact() -> tuple[list[str], np.ndarray]:
-    """(langs, profiles_t[DIM, L]) — smoothed log-prob profile per language,
-    stored hash-major/C-contiguous so per-hash lookups during scoring are
-    contiguous row gathers (≈10× cheaper than column gathers of an
-    (L, DIM) layout at Arrow-batch scale)."""
+    """(langs, profiles[L, DIM]) — smoothed log-prob profile per language,
+    language-major/C-contiguous: scoring gathers one language row at a
+    time, and a 128 KiB float32 row stays cache-resident under the 1-D
+    fancy-index + 1-D reduceat fast paths (numpy's axis-0 reduceat over
+    an (N, L) block is a generic slow loop and was the measured scoring
+    bottleneck — 148 ms of a 318 ms batch)."""
     langs = sorted(SEED_CORPORA)
     profiles = np.stack(
         [ngram.log_profile(ngram.train_counts(SEED_CORPORA[lang])) for lang in langs]
     )
-    # float32 halves gather/reduceat memory traffic (the scorer is
+    # float32 halves gather memory traffic (the scorer is
     # bandwidth-bound); scoring accumulates in float64 for stability.
-    return langs, np.ascontiguousarray(profiles.T, dtype=np.float32)
+    return langs, np.ascontiguousarray(profiles, dtype=np.float32)
 
 
 def score_batch(
-    texts: pd.Series, langs: list[str], profiles_t: np.ndarray
+    texts: pd.Series,
+    langs: list[str],
+    profiles: np.ndarray,
+    hashed: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> pd.DataFrame:
-    """Vectorized langid over one Arrow batch → DataFrame(lang, lang_prob)."""
+    """Vectorized langid over one Arrow batch → DataFrame(lang, lang_prob).
+
+    ``hashed`` — optional precomputed ``(trigram_hashes, offsets)`` for
+    the same texts (the fused langid+perplexity UDF hashes the batch
+    once and shares it; results are identical by the determinism
+    contract of ``ngram._batch_hashes``)."""
     vals = texts.fillna("").tolist()
-    hashes, offsets = ngram.batch_trigram_hashes(vals)
+    if hashed is None:
+        hashes, offsets = ngram.batch_trigram_hashes(vals)
+    else:
+        hashes, offsets = hashed
     counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
     n_rows = len(vals)
-    n_langs = profiles_t.shape[1]
-    # (positions, L) per-position log-probs → per-row sums along axis 0.
-    # reduceat is sequential per segment, so each row's sums are
-    # bit-identical regardless of batch composition.
-    gathered = profiles_t[hashes]
-    per_row = np.zeros((n_rows, n_langs), dtype=np.float64)
-    nonempty = offsets[:-1] < offsets[1:]
-    if gathered.shape[0] and nonempty.any():
-        per_row[nonempty] = np.add.reduceat(
-            gathered, offsets[:-1][nonempty], axis=0, dtype=np.float64
-        )[: int(nonempty.sum())]
+    n_langs = profiles.shape[0]
+    # Per-language 1-D gather (from an L2-resident 128 KiB profile row)
+    # + 1-D reduceat per-row sums.  reduceat is sequential per segment
+    # and accumulates in float64, so each row's sums are bit-identical
+    # regardless of batch composition — and identical to the former
+    # (N, L) axis-0 reduceat, which added the same values in the same
+    # order (pinned by test_scorers determinism tests).
+    # one intp cast shared by all 9 gathers (numpy re-casts a non-intp
+    # fancy index per gather — measured 3× the gather cost)
+    idx = hashes.astype(np.intp, copy=False)
+    per_row = np.empty((n_rows, n_langs), dtype=np.float64)
+    for li in range(n_langs):
+        per_row[:, li] = ngram.segment_sums(profiles[li][idx], offsets)
     mean_lp = per_row / np.maximum(counts, 1.0)[:, None]
     z = mean_lp * SHARPNESS
     z -= z.max(axis=1, keepdims=True)

@@ -41,10 +41,19 @@ def build_artifact() -> tuple[np.ndarray, np.ndarray]:
     return lp3, lp2
 
 
-def score_batch(texts: pd.Series, lp3: np.ndarray, lp2: np.ndarray) -> pd.Series:
+def score_batch(
+    texts: pd.Series,
+    lp3: np.ndarray,
+    lp2: np.ndarray,
+    hashed: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> pd.Series:
+    """``hashed`` — optional precomputed ``(h3, h2, offsets)`` for the
+    same texts (shared hash pass of the fused scoring UDF)."""
     vals = texts.fillna("").tolist()
-    h3, h2, offsets = ngram._batch_hashes(vals)
-    per_pos = lp3[h3] - lp2[h2]  # log P(byte | 2-byte context)
+    h3, h2, offsets = hashed if hashed is not None else ngram._batch_hashes(vals)
+    i3 = h3.astype(np.intp, copy=False)  # intp: fast-path fancy index
+    i2 = h2.astype(np.intp, copy=False)
+    per_pos = lp3[i3] - lp2[i2]  # log P(byte | 2-byte context)
     sums = ngram.segment_sums(per_pos, offsets)
     counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
     # mean -log2 prob per byte; empty rows → uniform-byte cost 8 bits

@@ -60,8 +60,11 @@ def feature_columns(text: Column) -> dict[str, Column]:
     """
     n_chars = F.length(text)
     # length-diff of a regexp_replace beats regexp_count (which
-    # materializes every single-char match into an array per row)
-    n_letter = n_chars - F.length(F.regexp_replace(text, r"\p{L}", ""))
+    # materializes every single-char match into an array per row);
+    # matching letter RUNS removes the same characters with one regex
+    # iteration per run instead of per letter (~2.5× on mostly-letter
+    # text, identical count)
+    n_letter = n_chars - F.length(F.regexp_replace(text, r"\p{L}+", ""))
     n_digit = n_chars - F.length(F.translate(text, "0123456789", ""))
     n_space = n_chars - F.length(F.translate(text, " \t\r\n\x0b\f", ""))
     n_nonspace = n_chars - n_space
@@ -76,69 +79,104 @@ def feature_columns(text: Column) -> dict[str, Column]:
     }
 
 
-# Single-pass fast-path regex: matches iff ANY labelling regex (or the
-# symbol-run formatting trigger) matches.  All component patterns carry a
-# stripped "(?i)" prefix, re-applied once at the front — alternation of the
-# same patterns, so combined-match ⟺ ∃ individual match.
-_COMBINED_DEFECT = P.ci(
-    "(" + "|".join(
-        [pat.removeprefix("(?i)") for _, pat in REGEX_RULES] + [P.SYMBOL_RUN]
-    ) + ")"
-)
+# --- per-rule two-level screen ---------------------------------------------
+# Every rule regex is gated behind its OWN sound necessary condition
+# (lowercase substring probes + tiny anchored/char-class regexes), so a
+# row that trips one rule's guard confirms against THAT rule's regex
+# only — never a monolithic all-rules alternation.  The previous design
+# (one combined screen → one combined ~60 µs/row confirm NFA) charged
+# every screen-passing row the full alternation; per-rule gating cuts
+# the confirm cost to the guard-hit slice of each rule (measured ~2×
+# on the fast-path filter).  Soundness audit per guard: every top-level
+# alternative of the rule's pattern either contains one of the guard
+# literals after ASCII case folding (Java (?i) folds ASCII only, so
+# lower(text).contains(lit) is implied by any case-insensitive literal
+# match) or implies the guard's small regex, which runs on LOWERED text
+# so the (?i) fold applies to it too (all-letter 32-hex, X-*: headers).
+# Unsoundness would break oracle-parity + fuzz tests.
+_GUARD_LITERALS: dict[str, list[str]] = {
+    # EMAIL ⇒ '@'; PHONE ⇒ digit (small rx); CONTACT_MARKER alternatives
+    # ('email us'/'e-mail us' ⇒ 'mail us')
+    "Contact & Identification Information":
+        ["@", "contact us", "call us", "tel:", "fax:", "mail us"],
+    # HTML_TAG ⇒ '<'; ``` ⇒ '`'; [{};]{2,} ⇒ one of '{' '}' ';';
+    # text/html|utf-8|charset=|http/1.x literals; hex32 ⇒ digit or the
+    # all-letter run (small rx); ^(user-agent|…|x-*): ⇒ anchored small rx
+    "Technical Specifications & Metadata":
+        ["<", "`", "{", "}", ";", "text/html", "utf-8", "charset=", "http"],
+    # '(c) 2024' ⇒ '(c)'; 'gdpr compliance' ⇒ 'gdpr'
+    "Legal & Administrative Content":
+        ["all rights reserved", "terms of service", "terms and conditions",
+         "privacy policy", "cookie policy", "legal notice", "disclaimer",
+         "gdpr", "(c)", "©"],
+    # '[12]' ⇒ '['; 'doi:5' ⇒ 'doi:'; 'pp. 3'/'vol.4' ⇒ 'pp.'/'vol.'
+    "Bibliographical & Citation References":
+        ["et al.", "doi:", "[", "pp.", "vol.", "isbn ", "ibid."],
+    # 'home ?page' et sim. need both spaced and joined forms; URL ⇒
+    # 'http'/'www.'
+    "Navigation & Interface Elements":
+        ["home page", "homepage", "log in", "login", "sign up", "signup",
+         "next page", "previous page", "click here", "main menu",
+         "site map", "sitemap", "back to top", "skip to content",
+         "read more", "search results", "breadcrumb", "navigation bar",
+         "toggle menu", "http", "www."],
+    "Promotional & Spam Content":
+        ["buy now", "limited time offer", "discount code", "free shipping",
+         "subscribe now", "casino", "jackpot", "winner winner",
+         "claim your prize", "100% free", "act now",
+         "best price guaranteed", "order today", "!!!"],
+    # 'you (are|re) an idiot' ⇒ 'idiot'; 'total moron' ⇒ 'moron'
+    "Offensive or Inappropriate Content":
+        ["idiot", "moron", "stupid fool", "i hate you", "shut up forever",
+         "worthless loser", "garbage person", "trash human"],
+}
+# Small per-rule regexes, run on LOWERED text so the rules' (?i) ASCII
+# fold is honoured (the pre-r6 screen ran them case-sensitively on raw
+# text — an uppercase 'X-FOO:' header or all-uppercase letter-only hex32
+# could slip past the screen and mis-label as Clean).
+_GUARD_SMALL: dict[str, str] = {
+    "Contact & Identification Information": r"[0-9]",
+    "Technical Specifications & Metadata":
+        r"(^(user-agent|content-type|accept-encoding|x-[a-z\-]+):"
+        r"|[0-9]|\b[a-f]{32}\b)",
+}
 
-# --- two-level screen -------------------------------------------------------
-# A NECESSARY condition for _COMBINED_DEFECT, ~4× cheaper to test (JVM
-# substring search on lowered text + one tiny regex) than the big
-# alternation NFA.  Soundness audit: every top-level alternative of every
-# rule pattern either contains one of these literals after ASCII case
-# folding (Java (?i) folds ASCII only, so lower(text).contains(lit) is
-# implied by any case-insensitive literal match) or requires a character
-# matched by _SCREEN_SMALL (digits, symbol runs, all-letter 32-hex, x-*:
-# headers).  Unsoundness would break oracle-parity + fuzz tests.
-_SCREEN_LITERALS = [
-    "@", "<", "`", "{", "}", ";",                       # EMAIL, HTML, code
-    "contact us", "call us", "tel:", "fax:", "mail us",  # CONTACT (e-?mail us → 'mail us')
-    "http", "www.",                                      # URL / http-1.x
-    "text/html", "utf-8", "charset=",
-    "user-agent", "content-type", "accept-encoding",
-    "all rights reserved", "terms of service", "terms and conditions",
-    "privacy policy", "cookie policy", "legal notice", "disclaimer",
-    "gdpr", "(c)", "©",
-    "et al.", "doi:", "[", "pp.", "vol.", "isbn ", "ibid.",
-    "home page", "homepage", "log in", "login", "sign up", "signup",
-    "next page", "previous page", "click here", "main menu",
-    "site map", "sitemap", "back to top", "skip to content", "read more",
-    "search results", "breadcrumb", "navigation bar", "toggle menu",
-    "buy now", "limited time offer", "discount code", "free shipping",
-    "subscribe now", "casino", "jackpot", "winner winner",
-    "claim your prize", "100% free", "act now", "best price guaranteed",
-    "order today", "!!!",
-    "idiot", "moron", "stupid fool", "i hate you", "shut up forever",
-    "worthless loser", "garbage person", "trash human",
-]
-_SCREEN_SMALL = r"([\-_=*#~$%^&+|\\/.]{5,}|[0-9]|\b[a-f]{32}\b|x-[a-z\-]+:)"
+
+def _rule_hits(text: Column, lowered: Column) -> list[tuple[str, Column]]:
+    """(label, hit) per REGEX_RULES entry in frozen precedence order;
+    hit = sound cheap guard AND the rule's own regex."""
+    hits = []
+    for label, pattern in REGEX_RULES:
+        guard = F.lit(False)
+        for lit in _GUARD_LITERALS[label]:
+            guard = guard | lowered.contains(lit)
+        small = _GUARD_SMALL.get(label)
+        if small is not None:
+            guard = guard | lowered.rlike(small)
+        hits.append((label, guard & text.rlike(pattern)))
+    return hits
 
 
 def _defect_hit(text: Column) -> Column:
-    """screen AND confirm: equals ``text.rlike(_COMBINED_DEFECT)`` but the
-    big regex only runs on rows the cheap screen lets through (Spark's
-    boolean AND short-circuits in generated code)."""
+    """True iff ANY labelling regex (or the symbol-run formatting
+    trigger) matches — ∃-equivalent to the old combined-alternation
+    scan, evaluated as per-rule guarded probes."""
     lowered = F.lower(text)
-    screen = F.lit(False)
-    for lit in _SCREEN_LITERALS:
-        screen = screen | lowered.contains(lit)
-    screen = screen | text.rlike(_SCREEN_SMALL)
-    return screen & text.rlike(_COMBINED_DEFECT)
+    hit = F.lit(False)
+    for _, rule_hit in _rule_hits(text, lowered):
+        hit = hit | rule_hit
+    return hit | text.rlike(P.SYMBOL_RUN)
 
 
 def label_expr(text: Column) -> Column:
     """Per-turn label: frozen-precedence regex rules, then the ratio-based
     formatting rule, else Clean.
 
-    Physical fast path: one combined alternation regex decides "definitely
-    Clean" for the ~70 % majority in a single scan; only rows that match
-    something (or trip a ratio rule) pay the per-label regex cascade.
-    Label semantics are identical — parity with the oracle is tested.
+    Physical fast path: every rule regex sits behind its own sound
+    cheap guard (``_rule_hits``), so the ~70 % Clean majority pays only
+    lowercase substring probes + tiny regexes, and a guard-tripping row
+    pays exactly the tripped rules' regexes.  Label semantics are
+    identical — parity with the oracle is tested.
     """
     feats = feature_columns(text)
     ratio_formatting = (
@@ -152,11 +190,9 @@ def label_expr(text: Column) -> Column:
     full = F.lit(LABELS[0])  # Clean (built innermost-out, so reversed below)
     formatting = ratio_formatting | text.rlike(P.SYMBOL_RUN)
     full = F.when(formatting, F.lit(FORMATTING_LABEL)).otherwise(full)
-    for label, pattern in reversed(REGEX_RULES):
-        full = F.when(text.rlike(pattern), F.lit(label)).otherwise(full)
-    return F.when(
-        ~_defect_hit(text) & ~ratio_formatting, F.lit(LABELS[0])
-    ).otherwise(full)
+    for label, hit in reversed(_rule_hits(text, F.lower(text))):
+        full = F.when(hit, F.lit(label)).otherwise(full)
+    return full
 
 
 def clean_score_expr(text: Column, label: Column) -> Column:
@@ -195,7 +231,7 @@ def _feature_cols_from(df: DataFrame, text: Column) -> DataFrame:
         df.withColumn("_n_chars", n_chars)
         .withColumn(
             "_n_letter",
-            n_chars - F.length(F.regexp_replace(text, r"\p{L}", "")),
+            n_chars - F.length(F.regexp_replace(text, r"\p{L}+", "")),
         )
         .withColumn("_n_digit", n_chars - F.length(F.translate(text, "0123456789", "")))
         .withColumn("_n_space", n_chars - F.length(F.translate(text, " \t\r\n\x0b\f", "")))
@@ -228,7 +264,7 @@ def _ratio_formatting(feats: dict[str, Column]) -> Column:
 
 def clean_fastpath_predicate(text: Column) -> Column:
     """True iff the label would be Clean — as a compact standalone
-    predicate (one combined regex + char-map counts).  Lets pipelines
+    predicate (per-rule guarded probes + char-map counts).  Lets pipelines
     filter *before* scoring when the removal set is every non-Clean label
     (the cheap-filter-first rewrite anticipated in SURVEY.md §7.2):
     pushed into the scan, it never materializes labels for dropped rows."""
@@ -279,12 +315,9 @@ def score_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     full = F.lit(LABELS[0])
     formatting = _ratio_formatting(feats) | text.rlike(P.SYMBOL_RUN)
     full = F.when(formatting, F.lit(FORMATTING_LABEL)).otherwise(full)
-    for label, pattern in reversed(REGEX_RULES):
-        full = F.when(text.rlike(pattern), F.lit(label)).otherwise(full)
-    label = F.when(
-        ~_defect_hit(text) & ~_ratio_formatting(feats), F.lit(LABELS[0])
-    ).otherwise(full)
-    labeled = base.withColumn("label", label)
+    for label, hit in reversed(_rule_hits(text, F.lower(text))):
+        full = F.when(hit, F.lit(label)).otherwise(full)
+    labeled = base.withColumn("label", full)
     score_raw = (
         F.lit(W_ALPHA) * feats["alpha_ratio"]
         + F.lit(W_LEN)

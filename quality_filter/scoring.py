@@ -66,10 +66,16 @@ def with_scores(
 
     @pandas_udf("struct<lang:string, lang_prob:double, logppl:double>")
     def _score(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        (langs, profiles_t), (lp3, lp2) = bc.value
+        from quality_filter import ngram
+
+        (langs, profiles), (lp3, lp2) = bc.value
         for texts in batches:
-            out = L.score_batch(texts, langs, profiles_t)
-            out["logppl"] = X.score_batch(texts, lp3, lp2)
+            # hash the batch ONCE; both scorers consume the same arrays
+            # (the batch's UTF-8 encode + rolling hash was previously the
+            # fused path's second-largest cost, paid twice)
+            h3, h2, offsets = ngram._batch_hashes(texts.fillna("").tolist())
+            out = L.score_batch(texts, langs, profiles, hashed=(h3, offsets))
+            out["logppl"] = X.score_batch(texts, lp3, lp2, hashed=(h3, h2, offsets))
             yield out
 
     out = df.withColumn("_sc", _score(F.col(text_col)))
