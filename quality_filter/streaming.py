@@ -204,14 +204,18 @@ def stream_trim_stateful(
             yield pd.DataFrame(columns=out_cols)
             return
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                if row.role == END_MARKER_ROLE:
-                    finished = True
-                    continue
-                ti.append(row.turn_idx)
-                tx.append(row.text)
-                lb.append(row.label)
-                sc.append(row.clean_score)
+            # column-wise ingest (no per-row Python): drop marker rows,
+            # flag completion, extend the buffers with whole columns.
+            # Append order matches the old row loop, and the later
+            # turn_idx sort is stable, so tie behavior is unchanged.
+            marker = pdf["role"].to_numpy() == END_MARKER_ROLE
+            if marker.any():
+                finished = True
+                pdf = pdf[~marker]
+            ti.extend(pdf["turn_idx"].tolist())
+            tx.extend(pdf["text"].tolist())
+            lb.extend(pdf["label"].tolist())
+            sc.extend(pdf["clean_score"].tolist())
         if len(ti) > max_turns_per_conv:
             # state-size guard: keep the lowest-turn_idx window (sorted
             # once at overflow, deterministic regardless of arrival order)

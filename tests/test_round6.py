@@ -157,3 +157,49 @@ def test_segment_size_must_cover_k(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="segment_size"):
         duplicated_span_marks(df, k=5, segment_size=3).collect()
+
+
+# -- MinHash banding S-curve (docs/minhash_tuning.md) ------------------------
+
+def test_minhash_scurve_recall_matches_theory(spark):
+    """Candidate recall of the default 4-band x 4-row banding tracks the
+    analytic S-curve P = 1 - (1 - s^4)^4 at three similarity points.
+
+    Construction: each planted pair shares a word prefix of length p out
+    of n = 50 unique namespaced words, giving shingle-set Jaccard
+    exactly (p-2) / (2*48 - (p-2)) with zero cross-pair collisions.
+    xxhash64 is deterministic, so the measured recall is a fixed number
+    for this corpus; the +/-0.12 tolerance is the 3-sigma band of the
+    120-pair Bernoulli sample the corpus realizes."""
+    from quality_filter.dedup import lsh_candidates, minhash_signatures
+
+    n, pairs_per_level = 50, 120
+    results = {}
+    for level, p_shared in (("lo", 34), ("mid", 41), ("hi", 47)):
+        shared = p_shared - 2
+        s = shared / (2 * (n - 2) - shared)
+        theory = 1.0 - (1.0 - s**4) ** 4
+        docs = []
+        for pid in range(pairs_per_level):
+            a_words = [f"L{level}p{pid}w{i}" for i in range(n)]
+            b_words = a_words[:p_shared] + [
+                f"L{level}p{pid}x{i}" for i in range(n - p_shared)
+            ]
+            docs.append((2 * pid, " ".join(a_words)))
+            docs.append((2 * pid + 1, " ".join(b_words)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sig = minhash_signatures(df)
+        cands = {
+            (r["a"], r["b"]) for r in lsh_candidates(sig).collect()
+        }
+        hit = sum(
+            1 for pid in range(pairs_per_level)
+            if (2 * pid, 2 * pid + 1) in cands
+        )
+        recall = hit / pairs_per_level
+        results[level] = (s, theory, recall)
+        assert abs(recall - theory) <= 0.12, (
+            f"s={s:.3f}: recall {recall:.3f} vs theory {theory:.3f}"
+        )
+    # the curve must actually be S-shaped over the three points
+    assert results["lo"][2] < results["mid"][2] < results["hi"][2]
