@@ -327,8 +327,12 @@ def main() -> None:
         "pairs come from an EQUI-join on (table, bucket) over the "
         "sign-random-projection ids (hyperplanes folded into the plan as "
         "literals — no model broadcast, no UDF), then exact cosine "
-        "verifies only candidates.  Downstream clustering reuses the "
-        "connected-components round shown above.",
+        "verifies only candidates.  Cross-band collision dedup runs on "
+        "bare (a, b) id pairs — embedding arrays re-attach AFTER the "
+        "distinct, so the widest shuffle carries ids, not vectors "
+        "(similarly for lsh_ann_topk's query/corpus re-attach).  "
+        "Downstream clustering reuses the connected-components round "
+        "shown above.",
         "\n".join(
             l for l in plan_of(sem_pairs).splitlines()
             if any(k in l for k in ("Join", "Exchange", "Aggregate", "Generate"))
@@ -345,17 +349,19 @@ def main() -> None:
     capped_cand = lsh_candidates(sig, max_bucket_size=50)
     capped_cand.count()
     sections.append((
-        "LSH bucket-occupancy guard (triggered shape)",
-        "On a degenerate corpus (300 near-identical docs sharing every "
-        "band bucket) the guard truncates oversized buckets before the "
-        "self-join: oversized keys arrive via BROADCAST semi/anti joins "
-        "(the degenerate-key set is small by construction), the per-bucket "
-        "top-cap is one Window sort over only the hot buckets, and the "
-        "candidate join then runs on ≤cap-row buckets — O(bands·cap²) "
-        "pairs instead of O(k²).  When no bucket exceeds the cap, the "
-        "banded table passes through UNTOUCHED (no Window, no extra "
-        "exchange — the no-op path is plan-identical, tested in "
-        "tests/test_round5.py).",
+        "LSH bucket-occupancy guard (capped single-lineage pair shape)",
+        "With a cap set, candidate pairs come from ONE lineage pass and "
+        "NO self-join: a (key)-shuffled row_number cap (map-side "
+        "WindowGroupLimit prunes oversized buckets before the exchange), "
+        "a per-bucket collect_list whose memory is bounded by the cap, "
+        "and a positional double-explode of the sorted member array — "
+        "O(bands·cap²) pairs on this degenerate 300-near-identical-doc "
+        "corpus instead of O(k²), with the banded table computed exactly "
+        "once.  Uncapped (max_bucket_size=None — the oracle-checked "
+        "default in the registered queries) retains the banded "
+        "equi-self-join, where an unbounded collect_list would be an OOM "
+        "hazard; pair-set parity between the strategies is pinned by "
+        "tests/test_round6.py.",
         "\n".join(
             l for l in plan_of(capped_cand).splitlines()
             if any(k in l for k in ("Join", "Exchange", "Window", "Aggregate", "Union"))
