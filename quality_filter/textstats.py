@@ -230,3 +230,147 @@ def select_top_quality(
     )
     thr = scored.agg(fn(*args).alias("t")).collect()[0]["t"]
     return scored.filter(F.col("quality_score") >= F.lit(thr))
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) — the
+# standard pre-training corpus gate.  Frozen thresholds; the DuckDB oracle
+# is generated from these same constants so the two sides cannot drift.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORD_HITS = 2
+
+_BULLET_RE = r"^[-*•]"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+_SYMBOL_RE = r"#|\.\.\.|…"
+_TERMINAL_RE = r"[.!?\"]$"
+
+
+def _nonempty_words(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-rule metrics + keep decision per document.
+
+    Adds ``word_count``, ``mean_word_len``, ``symbol_ratio`` (# / ellipsis
+    per word), ``bullet_frac`` / ``ellipsis_frac`` (of lines),
+    ``alpha_word_frac`` (words containing a letter), ``stopword_hits``
+    (distinct hits from the 8-word Gopher list) and boolean
+    ``gopher_keep`` (every rule passes).
+
+    Scale shape: one narrow per-row projection — no shuffle, no join, no
+    Python; predicate/column pruning reach the scan unchanged.  The array
+    HOFs run interpreted (not codegen), which is fine for an audit/gate
+    pass; a hot-path variant would fuse into the existing scorer Arrow
+    UDF the way langid does.  All ratios are exact-int divisions cast to
+    double, so results are bit-stable across engines and partitionings.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = _nonempty_words(text)
+    wc = F.size(words)
+    wc1 = F.greatest(F.lit(1), wc).cast("double")
+    mean_wl = (
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        / wc1
+    )
+    symbol_ratio = F.regexp_count(text, F.lit(_SYMBOL_RE)).cast("double") / wc1
+    lines = F.split(text, r"\n")
+    nl1 = F.greatest(F.lit(1), F.size(lines)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda ln: F.ltrim(ln).rlike(_BULLET_RE))).cast("double")
+        / nl1
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: F.rtrim(ln).rlike(_ELLIPSIS_RE))).cast(
+            "double"
+        )
+        / nl1
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}"))).cast("double") / wc1
+    )
+    words_low = F.transform(words, F.lower)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(words_low, s))
+    )
+    out = (
+        df.withColumn("word_count", wc)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("stopword_hits", stop_hits)
+    )
+    keep = (
+        F.col("word_count").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2) —
+# keep lines ending in terminal punctuation with >= 5 words; drop pages
+# with fewer than C4_MIN_LINES surviving lines, containing "lorem ipsum",
+# or containing a curly brace.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 3
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_lines: int = C4_MIN_LINES,
+) -> DataFrame:
+    """C4 cleaning as one narrow projection + filter: per-line keep rule
+    evaluated inside array HOFs (no explode → no shuffle, doc order and
+    partitioning preserved), then the page-level gates.  Returns kept
+    pages with ``clean_text`` (surviving lines re-joined), ``n_lines_kept``
+    and ``n_lines_total``.
+
+    At 100 TB this is scan-shaped: the whole operator is a single
+    WholeStageCodegen-adjacent map over the text column with zero
+    exchanges; the line explode/reassemble alternative would shuffle
+    every byte of the corpus twice for identical output.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(_TERMINAL_RE)
+        & (F.size(_nonempty_words(ln)) >= min_words_per_line),
+    )
+    out = (
+        df.withColumn("n_lines_total", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )
+    return out.filter(
+        (F.col("n_lines_kept") >= min_lines)
+        & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+        & ~F.contains(text, F.lit("{"))
+    )

@@ -1,0 +1,131 @@
+"""Gopher quality rules (Rae et al. 2021 A1.1) and C4 line/page cleaning
+(Raffel et al. 2020 §2.2): hand-computed fixtures for every rule, plus
+edge cases (empty/None text, div-by-zero guards, case-insensitive lorem,
+line-order preservation).  The sf0.01 oracle parity for both registered
+queries lives in tests/test_entry_contract.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from quality_filter.textstats import (
+    C4_MIN_LINES,
+    C4_MIN_WORDS_PER_LINE,
+    GOPHER_MIN_STOPWORD_HITS,
+    GOPHER_MIN_WORDS,
+    c4_line_filter,
+    with_gopher_flags,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs home "
+    "to be with all of that good company that it might have kept "
+) * 3  # 78 words, all alphabetic, all 8 distinct stopword hits
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _gopher_map(spark, rows):
+    out = with_gopher_flags(_docs(spark, rows)).collect()
+    return {r["doc_id"]: r for r in out}
+
+
+def test_gopher_passing_doc(spark):
+    m = _gopher_map(spark, [(1, GOOD)])[1]
+    assert m["word_count"] == 78
+    assert 3.0 <= m["mean_word_len"] <= 10.0
+    assert m["symbol_ratio"] == 0.0
+    assert m["bullet_frac"] == 0.0 and m["ellipsis_frac"] == 0.0
+    assert m["alpha_word_frac"] == 1.0
+    assert m["stopword_hits"] == 8  # every list entry occurs in GOOD
+    assert m["gopher_keep"] is True
+
+
+def test_gopher_each_rule_fails_independently(spark):
+    rows = [
+        (1, "too short " * 5),                       # 10 words < min
+        (2, " ".join(["####"] * 60)),                # symbols, no alpha
+        (3, "\n".join(["- the be bullet line"] * 60)),  # bullet_frac 1.0
+        (4, "\n".join(["the be trailing words..."] * 60)),  # ellipsis 1.0
+        (5, " ".join(["a"] * 60)),                   # mean_word_len 1.0
+        (6, " ".join(["wordsoup"] * 60)),            # 0 stopword hits
+    ]
+    m = _gopher_map(spark, rows)
+    assert m[1]["word_count"] == 10 < GOPHER_MIN_WORDS
+    # each '####' word contributes 4 '#' matches -> ratio 4.0 per word
+    assert m[2]["alpha_word_frac"] == 0.0 and m[2]["symbol_ratio"] == 4.0
+    assert m[3]["bullet_frac"] == 1.0
+    assert m[4]["ellipsis_frac"] == 1.0
+    assert m[5]["mean_word_len"] == 1.0
+    assert m[6]["stopword_hits"] == 0 < GOPHER_MIN_STOPWORD_HITS
+    assert not any(m[i]["gopher_keep"] for i in m)
+
+
+def test_gopher_empty_and_null_text(spark):
+    m = _gopher_map(spark, [(1, ""), (2, None)])
+    for i in (1, 2):
+        assert m[i]["word_count"] == 0
+        assert m[i]["mean_word_len"] == 0.0  # div-by-zero guarded
+        assert m[i]["gopher_keep"] is False
+
+
+def test_gopher_stopword_hits_are_distinct_and_case_insensitive(spark):
+    # 'The THE the' is ONE distinct stopword; 'of' a second
+    m = _gopher_map(spark, [(1, "The THE the of xyz")])[1]
+    assert m["stopword_hits"] == 2
+
+
+def test_c4_line_rules(spark):
+    text = "\n".join([
+        "this line ends with a period.",      # kept
+        "this line ends with a question?",    # kept
+        'this line ends with a quote"',       # kept
+        "this line has no terminal mark",     # dropped: no punctuation
+        "four word line.",                    # dropped: 3 < 5 words
+        "ends with bang and five words!",     # kept
+    ])
+    out = c4_line_filter(_docs(spark, [(1, text)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_lines_total"] == 6 and r["n_lines_kept"] == 4
+    # surviving lines keep original order
+    assert r["clean_text"].split("\n") == [
+        "this line ends with a period.",
+        "this line ends with a question?",
+        'this line ends with a quote"',
+        "ends with bang and five words!",
+    ]
+
+
+def test_c4_page_gates(spark):
+    keepable = "\n".join(["a good line with five words."] * C4_MIN_LINES)
+    rows = [
+        (1, keepable),                                      # kept
+        (2, "a good line with five words."),                # < min lines
+        (3, keepable + "\nLorem Ipsum dolor sit amet."),    # lorem, any case
+        (4, keepable + "\nvar x = { a: 1 }"),               # curly brace
+        (5, None),                                          # null text
+    ]
+    kept = [r["doc_id"] for r in c4_line_filter(_docs(spark, rows)).collect()]
+    assert kept == [1]
+
+
+def test_c4_thresholds_are_parameters(spark):
+    text = "one two three four.\none two three four."
+    strict = c4_line_filter(_docs(spark, [(1, text)]))
+    assert strict.count() == 0  # 4 words < default 5
+    loose = c4_line_filter(
+        _docs(spark, [(1, text)]), min_words_per_line=4, min_lines=2
+    )
+    assert loose.count() == 1
+    assert C4_MIN_WORDS_PER_LINE == 5 and C4_MIN_LINES == 3
+
+
+def test_c4_plan_has_no_exchange(spark):
+    """Scale contract: the whole operator is scan-shaped — zero shuffles."""
+    df = c4_line_filter(_docs(spark, [(1, "a b c d e.")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
