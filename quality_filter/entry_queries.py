@@ -2311,7 +2311,10 @@ _STOP_SUFFIX = "array('the','of','and','that','have','with')"
 
 
 def _structured_docs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    # The world-builder below is interpreted-HOF scaffolding; the testdata
+    # parquet is one file → one partition, so spread it across cores first
+    # (the library operators on top remain scan-shaped — no exchange).
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     words = (
         f"CASE WHEN doc_id % 2 = 0 THEN concat({_W_WORDS}, {_STOP_SUFFIX}) "
         f"ELSE {_W_WORDS} END"
