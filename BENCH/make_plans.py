@@ -368,6 +368,26 @@ def main() -> None:
         ),
     ))
 
+    from quality_filter.textstats import c4_line_filter, with_gopher_flags
+
+    doc_sample = spark.createDataFrame(
+        [(1, "a fine line with five words.\nshort one\nanother good line ends well!")],
+        "doc_id long, text string",
+    )
+    c4 = c4_line_filter(doc_sample)
+    gopher = with_gopher_flags(doc_sample)
+    sections.append((
+        "C4 line filter + Gopher flags (scan-shaped text gates)",
+        "Both corpus gates are single narrow projections built from array "
+        "HOFs — ZERO exchanges (asserted by tests/test_gopher_c4.py): the "
+        "per-line keep rule and every Gopher metric evaluate inside one "
+        "map over the text column, so at 100 TB they cost one scan and "
+        "parallelize embarrassingly.  The explode→filter→groupBy "
+        "alternative would shuffle the full corpus twice for identical "
+        "output.",
+        plan_of(c4) + "\n--- gopher ---\n" + plan_of(gopher),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
