@@ -280,8 +280,12 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _nonempty_words(text)
     wc = F.size(words)
     wc1 = F.greatest(F.lit(1), wc).cast("double")
+    # long accumulator: summed word lengths of a near-2GB document exceed
+    # int32; DuckDB's list_sum is already BIGINT, so the engines agree
     mean_wl = (
-        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double")
         / wc1
     )
     symbol_ratio = F.regexp_count(text, F.lit(_SYMBOL_RE)).cast("double") / wc1
