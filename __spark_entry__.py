@@ -58,7 +58,7 @@ _R6_HEAD = [
     "lang_code_names", "quality_corr", "doc_quality_corr",
     "doc_cleanliness_bucket", "min_doc_length",
     # new in round 6 — never stamped, so they take window priority
-    "gopher_quality_flags", "c4_line_filter",
+    "gopher_quality_flags", "c4_line_filter", "gopher_repetition",
 ]
 _R6_TAIL = [
     "pack_chunks", "pack_sequences", "top_quality_docs",
@@ -66,9 +66,9 @@ _R6_TAIL = [
     "doc_length_histogram", "top_tokens", "length_quantiles_by_source",
     "quality_weighted_docs", "dedup_prefix_exact", "jaccard_near_dups",
     "decontaminate_docs", "token_stats",
-    # moved to tail to offset the two new head rows: r5-green, untouched
-    # by any round-6 code path
-    "repetition_stats", "doc_fingerprint",
+    # moved to tail to offset the new head rows: r5-green, untouched by
+    # any round-6 code path
+    "repetition_stats", "doc_fingerprint", "reassemble_docs",
 ]
 
 

@@ -2470,3 +2470,84 @@ def q_c4_line_filter(spark, sf_dir):
         F.col("n_lines_kept").cast("int"),
         F.col("n_lines_total").cast("int"),
     )
+
+
+def _rep_world_spark(spark, sf_dir):
+    """Duplicate-planting layer on the structured world: every
+    (doc_id + i) % 4 == 0 line becomes a fixed filler line, and a blank
+    line follows every (doc_id + i) % 6 == 2 line (paragraph breaks)."""
+    return _structured_docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "array_join(transform(split(text, '\\n'), (ln, i) -> concat("
+        " CASE WHEN (doc_id + i) % 4 = 0 OR doc_id % 13 = 0"
+        "        OR (doc_id % 7 = 0 AND i % 2 = 1)"
+        "      THEN 'repeated filler line here.'"
+        "      ELSE ln END,"
+        " CASE WHEN (doc_id + i) % 6 = 2 THEN '\\n' ELSE '' END"
+        ")), '\\n') AS text",
+    )
+
+
+_REPWORLD_CTE = (
+    "repworld AS ("
+    " SELECT doc_id,"
+    "  array_to_string(list_transform(range(0, len(lns)), i ->"
+    "   (CASE WHEN (doc_id + i) % 4 = 0 OR doc_id % 13 = 0"
+    "          OR (doc_id % 7 = 0 AND i % 2 = 1)"
+    "         THEN 'repeated filler line here.'"
+    "         ELSE lns[i + 1] END) ||"
+    "   (CASE WHEN (doc_id + i) % 6 = 2 THEN chr(10) ELSE '' END)"
+    "  ), chr(10)) AS text"
+    " FROM (SELECT doc_id, string_split(text, chr(10)) AS lns FROM c4world))"
+)
+
+
+def _gopher_rep_sql() -> str:
+    from quality_filter import textstats as ts
+
+    lines = "list_filter(string_split(text, chr(10)), ln -> ln <> '')"
+    paras = "list_filter(regexp_split_to_array(text, '\\n{2,}'), p -> p <> '')"
+
+    def fracs(units, prefix):
+        return (
+            f" CAST(len({units}) - len(list_distinct({units})) AS DOUBLE)"
+            f"  / greatest(1, len({units})) AS {prefix}_frac,"
+            f" CAST(coalesce(list_sum(list_transform({units}, u -> length(u))), 0)"
+            f"      - coalesce(list_sum(list_transform(list_distinct({units}),"
+            f"        u -> length(u))), 0) AS DOUBLE)"
+            f"  / greatest(1, coalesce(list_sum(list_transform({units},"
+            f"    u -> length(u))), 0)) AS {prefix}_char_frac,"
+        )
+
+    return (
+        f"WITH {_C4WORLD_CTE}, {_REPWORLD_CTE}, "
+        f"gm AS (SELECT doc_id,{fracs(lines, 'dup_line')}{fracs(paras, 'dup_para')}"
+        " 1 AS _x FROM repworld) "
+        "SELECT doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,"
+        " dup_para_char_frac,"
+        f" dup_line_frac <= {ts.GOPHER_MAX_DUP_LINE_FRAC}"
+        f" AND dup_line_char_frac <= {ts.GOPHER_MAX_DUP_LINE_CHAR_FRAC}"
+        f" AND dup_para_frac <= {ts.GOPHER_MAX_DUP_PARA_FRAC}"
+        f" AND dup_para_char_frac <= {ts.GOPHER_MAX_DUP_PARA_CHAR_FRAC}"
+        " AS repetition_keep "
+        "FROM gm"
+    )
+
+
+@_register("gopher_repetition", _gopher_rep_sql())
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher duplicate-line/paragraph repetition gate (Rae et al. 2021
+    A1.1) via textstats.with_gopher_repetition over a duplicate-planted
+    structured world; complements the top-n-gram rules in
+    `repetition_stats`.  Thresholds frozen in textstats.GOPHER_MAX_* and
+    mirrored into this oracle."""
+    from quality_filter.textstats import with_gopher_repetition
+
+    return with_gopher_repetition(_rep_world_spark(spark, sf_dir)).select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "repetition_keep",
+    )

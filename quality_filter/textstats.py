@@ -378,3 +378,61 @@ def c4_line_filter(
         & ~F.contains(F.lower(text), F.lit("lorem ipsum"))
         & ~F.contains(text, F.lit("{"))
     )
+
+
+# Gopher repetition sub-rules (Rae et al. 2021 A1.1, "repetitious text"):
+# duplicate line / paragraph fractions by count and by character mass.
+# The top-n-gram char-fraction rules from the same table are covered by
+# the registered `repetition_stats` operator (entry_queries).
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+
+_PARA_SPLIT_RE = r"\n{2,}"
+
+
+def _dup_fracs(units: Column) -> tuple[Column, Column]:
+    """(duplicate-count fraction, duplicate-character fraction) of an
+    array of text units: occurrences beyond the first are duplicates.
+    array_distinct + two integer sums — O(n) per row, no sort, no pair
+    scan, so a 10^5-line document costs one pass."""
+    distinct = F.array_distinct(units)
+    n = F.size(units)
+    zero = F.lit(0).cast("long")
+    chars = F.aggregate(units, zero, lambda a, u: a + F.length(u))
+    chars_d = F.aggregate(distinct, zero, lambda a, u: a + F.length(u))
+    dup_frac = (n - F.size(distinct)).cast("double") / F.greatest(F.lit(1), n)
+    dup_char_frac = (chars - chars_d).cast("double") / F.greatest(
+        F.lit(1).cast("long"), chars
+    )
+    return dup_frac, dup_char_frac
+
+
+def with_gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher duplicate-line/paragraph metrics + keep decision.
+
+    Lines are newline-separated non-empty strings; paragraphs are
+    blank-line-separated non-empty blocks.  Adds ``dup_line_frac``,
+    ``dup_line_char_frac``, ``dup_para_frac``, ``dup_para_char_frac``
+    and ``repetition_keep`` (all four under the frozen GOPHER_MAX_*
+    thresholds).  Same scale shape as the other gates: one narrow
+    projection, exact-int divisions, zero exchanges."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(F.split(text, r"\n"), lambda ln: ln != F.lit(""))
+    paras = F.filter(F.split(text, _PARA_SPLIT_RE), lambda p: p != F.lit(""))
+    dl, dlc = _dup_fracs(lines)
+    dp, dpc = _dup_fracs(paras)
+    out = (
+        df.withColumn("dup_line_frac", dl)
+        .withColumn("dup_line_char_frac", dlc)
+        .withColumn("dup_para_frac", dp)
+        .withColumn("dup_para_char_frac", dpc)
+    )
+    keep = (
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("dup_para_frac") <= GOPHER_MAX_DUP_PARA_FRAC)
+        & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
+    )
+    return out.withColumn("repetition_keep", keep)

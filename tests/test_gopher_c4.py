@@ -129,3 +129,59 @@ def test_c4_plan_has_no_exchange(spark):
     df = c4_line_filter(_docs(spark, [(1, "a b c d e.")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition sub-rules (with_gopher_repetition)
+# ---------------------------------------------------------------------------
+
+def _rep_map(spark, rows):
+    from quality_filter.textstats import with_gopher_repetition
+
+    out = with_gopher_repetition(_docs(spark, rows)).collect()
+    return {r["doc_id"]: r for r in out}
+
+
+def test_repetition_hand_computed(spark):
+    # 4 lines: "aa" twice (dup), "bbbb", "cc" -> dup_line_frac 1/4,
+    # chars 2+2+4+2=10, distinct chars 2+4+2=8 -> char frac 2/10
+    m = _rep_map(spark, [(1, "aa\naa\nbbbb\ncc")])[1]
+    assert m["dup_line_frac"] == 0.25
+    assert m["dup_line_char_frac"] == 0.2
+    assert m["dup_para_frac"] == 0.0  # one paragraph, no blank lines
+    assert m["repetition_keep"] is True
+
+
+def test_repetition_paragraph_grain(spark):
+    # three paragraphs, two identical -> dup_para_frac 1/3; the para
+    # texts are "x.\ny." (4+1 chars incl inner newline) twice + "zzzz."
+    text = "x.\ny.\n\nx.\ny.\n\nzzzz."
+    m = _rep_map(spark, [(1, text)])[1]
+    assert m["dup_para_frac"] == pytest.approx(1 / 3)
+    assert m["dup_para_char_frac"] == pytest.approx(5 / 15)
+    # paragraph dup over threshold 0.30 -> rejected
+    assert m["repetition_keep"] is False
+
+
+def test_repetition_empty_lines_excluded(spark):
+    # blank lines are paragraph separators, never counted as dup lines
+    m = _rep_map(spark, [(1, "a.\n\n\n\nb.\n\n\n\nc.")])[1]
+    assert m["dup_line_frac"] == 0.0
+    assert m["dup_para_frac"] == 0.0
+    assert m["repetition_keep"] is True
+
+
+def test_repetition_degenerate_docs(spark):
+    m = _rep_map(spark, [(1, ""), (2, None), (3, "all same\nall same\nall same")])
+    for i in (1, 2):
+        assert m[i]["dup_line_frac"] == 0.0 and m[i]["repetition_keep"] is True
+    assert m[3]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert m[3]["dup_line_char_frac"] == pytest.approx(16 / 24)
+    assert m[3]["repetition_keep"] is False
+
+
+def test_repetition_plan_has_no_exchange(spark):
+    from quality_filter.textstats import with_gopher_repetition
+
+    df = with_gopher_repetition(_docs(spark, [(1, "a\nb")]))
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
