@@ -436,3 +436,25 @@ def with_gopher_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
     )
     return out.withColumn("repetition_keep", keep)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    with_repetition: bool = True,
+    keep_metrics: bool = False,
+) -> DataFrame:
+    """The composed Gopher corpus gate: keep documents passing ALL quality
+    rules (with_gopher_flags) and — by default — all repetition rules
+    (with_gopher_repetition).  One scan-shaped pass; both metric sets
+    evaluate inside the same projection.  ``keep_metrics=True`` retains
+    the per-rule metric columns for auditing, otherwise the output schema
+    equals the input schema."""
+    in_cols = df.columns
+    out = with_gopher_flags(df, text_col)
+    keep = F.col("gopher_keep")
+    if with_repetition:
+        out = with_gopher_repetition(out, text_col)
+        keep = keep & F.col("repetition_keep")
+    out = out.filter(keep)
+    return out if keep_metrics else out.select(*in_cols)

@@ -185,3 +185,107 @@ def test_repetition_plan_has_no_exchange(spark):
 
     df = with_gopher_repetition(_docs(spark, [(1, "a\nb")]))
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Composed gate + property pin against a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def test_gopher_filter_composition(spark):
+    rows = [
+        (1, GOOD),                                   # passes everything
+        (2, "short."),                               # fails quality rules
+        (3, "\n".join([GOOD[:60] + "."] * 40)),      # repetitious
+    ]
+    from quality_filter.textstats import gopher_filter
+
+    kept = [r["doc_id"] for r in gopher_filter(_docs(spark, rows)).collect()]
+    assert kept == [1]
+    no_rep = gopher_filter(_docs(spark, rows), with_repetition=False)
+    assert sorted(r["doc_id"] for r in no_rep.collect()) == [1, 3]
+    audited = gopher_filter(_docs(spark, rows), keep_metrics=True)
+    assert "word_count" in audited.columns and "dup_line_frac" in audited.columns
+    assert gopher_filter(_docs(spark, rows)).columns == ["doc_id", "text"]
+
+
+def _py_gopher(text):
+    """Pure-Python transliteration of both metric sets (reference for the
+    property pin; alphabet below avoids Java-vs-Python regex divergences:
+    no exotic whitespace, trims are space-only)."""
+    import re
+
+    text = text or ""
+    words = [w for w in re.split(r"\s+", text) if w != ""]
+    wc1 = max(1, len(words))
+    lines_all = text.split("\n")
+    nl1 = max(1, len(lines_all))
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    low = [w.lower() for w in words]
+    lines_ne = [ln for ln in lines_all if ln != ""]
+    paras = [p for p in re.split(r"\n{2,}", text) if p != ""]
+
+    def dup(units):
+        seen, dis = [], []
+        for u in units:
+            if u not in dis:
+                dis.append(u)
+        n, chars = len(units), sum(len(u) for u in units)
+        chars_d = sum(len(u) for u in dis)
+        return (
+            (n - len(dis)) / max(1, n),
+            (chars - chars_d) / max(1, chars),
+        )
+
+    dl, dlc = dup(lines_ne)
+    dp, dpc = dup(paras)
+    return dict(
+        word_count=len(words),
+        mean_word_len=sum(len(w) for w in words) / wc1,
+        symbol_ratio=len(re.findall(r"#|\.\.\.|…", text)) / wc1,
+        bullet_frac=sum(bool(re.search(r"^[-*•]", ln.lstrip(" "))) for ln in lines_all) / nl1,
+        ellipsis_frac=sum(bool(re.search(r"(\.\.\.|…)$", ln.rstrip(" "))) for ln in lines_all) / nl1,
+        alpha_word_frac=sum(any(c.isalpha() for c in w) for w in words) / wc1,
+        stopword_hits=sum(s in low for s in stop),
+        dup_line_frac=dl, dup_line_char_frac=dlc,
+        dup_para_frac=dp, dup_para_char_frac=dpc,
+    )
+
+
+def test_gopher_metrics_property_pin(spark):
+    """200 seeded random documents over an adversarial alphabet (unicode
+    letters, bullets, ellipses, planted dup lines, blank-line paragraph
+    breaks): every metric of both operators equals the pure-Python
+    reference exactly (all ratios are int/int IEEE divisions)."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = ["the", "of", "and", "données", "中文", "naïve", "x9", "####",
+             "word", "…", "...", "-lead", "•dot", "mix#ed", "a"]
+    docs = []
+    for d in range(200):
+        lines = []
+        for _ in range(rng.randint(0, 12)):
+            ws = [rng.choice(vocab) for _ in range(rng.randint(0, 9))]
+            ln = " ".join(ws)
+            if rng.random() < 0.2:
+                ln = "- " + ln
+            if rng.random() < 0.2:
+                ln += rng.choice(["...", "…", ".", "!"])
+            lines.append(ln)
+        if lines and rng.random() < 0.4:           # planted duplicate line
+            lines.append(rng.choice(lines))
+        txt = "\n".join(lines)
+        if rng.random() < 0.3:                     # paragraph break(s)
+            txt = txt.replace("\n", "\n\n", 1)
+        docs.append((d, txt))
+
+    from quality_filter.textstats import with_gopher_flags, with_gopher_repetition
+
+    got = {
+        r["doc_id"]: r
+        for r in with_gopher_repetition(with_gopher_flags(_docs(spark, docs))).collect()
+    }
+    for d, txt in docs:
+        exp = _py_gopher(txt)
+        for k, v in exp.items():
+            assert got[d][k] == v, (d, k, got[d][k], v, repr(txt)[:120])
