@@ -1,0 +1,92 @@
+"""End-to-end pre-training corpus construction: the full composition a
+100 TB web-scale run executes, staged so each pass shrinks (and
+de-skews) the input of the next.  Every stage is an already
+oracle-or-pytest-verified library operator; this module contributes the
+ordering, the column plumbing, and the stage accounting.
+
+Stage order and why it matters at scale:
+
+1. **C4 line cleaning** (`textstats.c4_line_filter`) — scan-shaped, no
+   shuffle; runs first because boilerplate lines inflate both gate
+   metrics and shingle sets, and because dropping whole junk pages here
+   is the cheapest possible discard (nothing has been shuffled yet).
+   Downstream stages operate on the cleaned text.
+2. **Gopher gates** (`textstats.gopher_filter`) — also scan-shaped;
+   applied to the C4-cleaned text so repetition/quality metrics judge
+   the content that would actually be trained on.
+3. **Dedup** (`cluster.dedup_pipeline`) — exact-first (skew defuser),
+   then MinHash+LSH → connected components; runs AFTER the gates so the
+   shuffle-bearing stage sees only documents worth deduplicating
+   (gates typically drop 30-70% of raw web text before any exchange).
+4. **Decontamination** (`cluster.decontaminate`) — gram-overlap against
+   the benchmark set via a broadcast probe; runs after dedup so each
+   surviving cluster representative is probed once, not once per copy.
+
+Returns the surviving rows plus a `stage_counts` accounting DataFrame
+when ``with_counts=True``.  Note the connected-components stage inside
+``dedup_pipeline`` is iterative and therefore runs jobs when the
+composition is built (convergence checks are inherent to CC); the
+gate/scan stages stay lazy until an action."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_pretrain_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    c4: bool = True,
+    gopher: bool = True,
+    gopher_repetition: bool = True,
+    jaccard_threshold: float = 0.8,
+    verify_exact: bool = False,
+    max_bucket_size: int | None = 1000,
+    decontaminate_n: int = 8,
+    with_counts: bool = False,
+):
+    """Compose C4 cleaning → Gopher gates → staged dedup →
+    decontamination over a documents table.  The output carries the
+    input schema with ``text_col`` replaced by the cleaned text (when
+    ``c4`` is on).  See the module docstring for the scale rationale of
+    the stage order."""
+    from quality_filter.cluster import decontaminate, dedup_pipeline
+    from quality_filter.textstats import c4_line_filter, gopher_filter
+
+    in_cols = docs.columns
+    counts: dict[str, DataFrame] = {"input": docs}
+
+    cur = docs
+    if c4:
+        cleaned = c4_line_filter(cur, text_col)
+        # downstream stages see the surviving lines only
+        cur = cleaned.withColumn(text_col, F.col("clean_text")).select(*in_cols)
+        counts["after_c4"] = cur
+    if gopher:
+        cur = gopher_filter(cur, text_col, with_repetition=gopher_repetition)
+        counts["after_gopher"] = cur
+    cur = dedup_pipeline(
+        cur,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        verify_exact=verify_exact,
+        max_bucket_size=max_bucket_size,
+    )
+    counts["after_dedup"] = cur
+    if benchmark is not None:
+        flags = decontaminate(cur, benchmark, id_col, text_col, n=decontaminate_n)
+        cur = cur.join(
+            flags.filter(~F.col("contaminated")).select(id_col), id_col, "semi"
+        )
+        counts["after_decontaminate"] = cur
+
+    if not with_counts:
+        return cur
+    rows = [(k, df.count()) for k, df in counts.items()]
+    spark = docs.sparkSession
+    stage_counts = spark.createDataFrame(rows, "stage string, n_docs long")
+    return cur, stage_counts

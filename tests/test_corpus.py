@@ -1,0 +1,87 @@
+"""End-to-end pre-training corpus composition (corpus.build_pretrain_corpus):
+planted fixtures exercise every stage — C4 page drop, Gopher gate drop,
+exact dup collapse, near-dup cluster collapse, benchmark decontamination —
+and the stage accounting."""
+
+from __future__ import annotations
+
+GOOD_LINE = "the quick brown fox jumps to be of use and that will have come with five."
+GOOD_PAGE = "\n".join(GOOD_LINE.replace("five", w) + f" extra {w} tail." for w in
+                      ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"])
+
+# 12-word sentence shared verbatim between doc 6 and the benchmark —
+# gives several 8-grams of overlap while sharing no vocabulary with
+# GOOD_PAGE (so doc 6 is NOT a near-dup of doc 1).
+SHARED = "the shared secret benchmark phrase tokens appear here verbatim once more today."
+OTHER_PAGE = "\n".join([
+    "astronomy journals describe distant nebulae with that remarkable clarity and insight.",
+    "chemistry manuals list every reagent to prepare beforehand for safety checks.",
+    SHARED,
+    "geology surveys measure sediment layers and deposit ages of riverbanks.",
+    "biology field notes record migration to nesting sites and seasonal counts.",
+    "physics lectures derive conservation laws with elegant symmetry arguments today.",
+])
+
+
+def _corpus(spark):
+    near_dup = GOOD_PAGE.replace("alpha", "alphaX")          # one-word change
+    rows = [
+        (1, GOOD_PAGE),                   # survivor
+        (2, GOOD_PAGE),                   # exact duplicate of 1
+        (3, near_dup),                    # near-duplicate of 1
+        (4, "no terminal punctuation anywhere\nso zero lines survive\nall dropped"),  # C4 page drop
+        (5, "\n".join(["dup dup dup line stays the same here."] * 40)),  # Gopher repetition drop
+        (6, OTHER_PAGE),                  # contaminated: shares 8-grams with benchmark
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _benchmark(spark):
+    return spark.createDataFrame(
+        [(100, "benchmark intro line.\n" + SHARED)], "doc_id long, text string"
+    )
+
+
+def test_full_composition_each_stage_acts(spark):
+    from quality_filter.corpus import build_pretrain_corpus
+
+    kept, counts = build_pretrain_corpus(
+        _corpus(spark),
+        benchmark=_benchmark(spark),
+        jaccard_threshold=0.5,
+        with_counts=True,
+    )
+    c = {r["stage"]: r["n_docs"] for r in counts.collect()}
+    assert c["input"] == 6
+    assert c["after_c4"] == 5              # doc 4 dropped (no surviving lines)
+    assert c["after_gopher"] == 4          # doc 5 dropped (dup-line repetition)
+    assert c["after_dedup"] == 2           # 1==2 exact; 3 near-dups into 1's cluster
+    assert c["after_decontaminate"] == 1   # doc 6 shares benchmark 8-grams
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1]
+    assert kept.columns == ["doc_id", "text"]  # schema preserved
+
+
+def test_c4_cleaning_feeds_downstream_text(spark):
+    """The text column downstream of the C4 stage is the CLEANED text:
+    a junk line inside an otherwise-good page is gone from the output."""
+    from quality_filter.corpus import build_pretrain_corpus
+
+    page = GOOD_PAGE + "\n" + "junk line no punct"
+    docs = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    out = build_pretrain_corpus(docs, gopher=False).collect()
+    assert len(out) == 1
+    assert "junk line" not in out[0]["text"]
+    assert out[0]["text"] == GOOD_PAGE
+
+
+def test_stages_are_optional(spark):
+    from quality_filter.corpus import build_pretrain_corpus
+
+    out = build_pretrain_corpus(
+        _corpus(spark), c4=False, gopher=False, jaccard_threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # only dedup ran: 2 (exact dup) and 3 (near dup) collapse into 1;
+    # 4, 5, 6 are not near-dups of anything and survive ungated
+    assert ids == [1, 4, 5, 6]
