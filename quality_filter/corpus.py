@@ -45,14 +45,17 @@ def build_pretrain_corpus(
     jaccard_threshold: float = 0.8,
     verify_exact: bool = False,
     max_bucket_size: int | None = 1000,
+    substring_k: int | None = None,
     decontaminate_n: int = 8,
     with_counts: bool = False,
 ):
     """Compose C4 cleaning → Gopher gates → staged dedup →
     decontamination over a documents table.  The output carries the
     input schema with ``text_col`` replaced by the cleaned text (when
-    ``c4`` is on).  See the module docstring for the scale rationale of
-    the stage order."""
+    ``c4`` or ``substring_k`` is on — ``substring_k`` additionally runs
+    exact-substring passage dedup inside the dedup stage and folds the
+    span-cleaned text back into ``text_col``).  See the module
+    docstring for the scale rationale of the stage order."""
     from quality_filter.cluster import decontaminate, dedup_pipeline
     from quality_filter.textstats import c4_line_filter, gopher_filter
 
@@ -75,7 +78,10 @@ def build_pretrain_corpus(
         jaccard_threshold=jaccard_threshold,
         verify_exact=verify_exact,
         max_bucket_size=max_bucket_size,
+        substring_k=substring_k,
     )
+    if substring_k is not None:
+        cur = cur.withColumn(text_col, F.col("clean_text")).select(*in_cols)
     counts["after_dedup"] = cur
     if benchmark is not None:
         flags = decontaminate(cur, benchmark, id_col, text_col, n=decontaminate_n)

@@ -85,3 +85,26 @@ def test_stages_are_optional(spark):
     # only dedup ran: 2 (exact dup) and 3 (near dup) collapse into 1;
     # 4, 5, 6 are not near-dups of anything and survive ungated
     assert ids == [1, 4, 5, 6]
+
+
+def test_substring_passage_dedup_stage(spark):
+    """substring_k folds exact-substring passage dedup into the dedup
+    stage: a boilerplate passage repeated across two otherwise-unique
+    documents is removed from the later one, text_col carries the
+    span-cleaned text, and the schema is still preserved."""
+    from quality_filter.corpus import build_pretrain_corpus
+
+    boiler = "all rights reserved contact the webmaster for details of that policy today"
+    a = "unique first document body with the usual stopwords to be of use here. " + boiler
+    b = boiler + " and a second unique body that will have come with other words here."
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    out = build_pretrain_corpus(
+        docs, c4=False, gopher=False, substring_k=8
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    texts = {r["doc_id"]: r["text"] for r in out}
+    # the passage survives in exactly one of the two documents
+    assert sum(boiler in t for t in texts.values()) == 1
+    assert out[0].__fields__ == ["doc_id", "text"]
