@@ -289,3 +289,29 @@ def test_gopher_metrics_property_pin(spark):
         exp = _py_gopher(txt)
         for k, v in exp.items():
             assert got[d][k] == v, (d, k, got[d][k], v, repr(txt)[:120])
+
+
+def test_gates_compose_with_structured_streaming(spark, tmpdir):
+    """The gates are stateless projections, so they drop into a
+    readStream→writeStream plan unchanged: streaming output over a file
+    source equals the batch gate on the same files (incremental corpus
+    gating needs no new operator)."""
+    from quality_filter.textstats import c4_line_filter, gopher_filter
+
+    inp, outp, ckpt = f"{tmpdir}/in", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    rows = [(1, GOOD), (2, "short."), (3, GOOD + "\nmore of the same text to be kept here.")]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    gated = c4_line_filter(gopher_filter(stream))
+    assert gated.isStreaming
+    (gated.writeStream.format("parquet")
+        .option("path", outp).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start().awaitTermination())
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(outp).collect())
+    want = sorted(
+        r["doc_id"] for r in c4_line_filter(gopher_filter(batch)).collect()
+    )
+    assert got == want
