@@ -2551,3 +2551,47 @@ def q_gopher_repetition(spark, sf_dir):
         "dup_para_char_frac",
         "repetition_keep",
     )
+
+
+def _tfidf_sql() -> str:
+    words = (
+        "list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),"
+        " w -> w <> '')"
+    )
+    return (
+        "WITH dt AS ("
+        f" SELECT doc_id, source, w AS term, count(*) AS tf"
+        f" FROM documents, unnest({words}) AS t(w)"
+        " GROUP BY 1, 2, 3), "
+        "dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY term), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS ("
+        " SELECT g.source, g.term, g.sum_tf, dfreq.df,"
+        "  CAST(g.sum_tf AS DOUBLE) * ((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score"
+        " FROM (SELECT source, term, sum(tf) AS sum_tf FROM dt GROUP BY 1, 2) g"
+        " JOIN dfreq ON g.term = dfreq.term CROSS JOIN n) "
+        "SELECT source, term, rnk, CAST(sum_tf AS BIGINT) AS sum_tf,"
+        " CAST(df AS BIGINT) AS df, score FROM ("
+        " SELECT *, CAST(row_number() OVER ("
+        "  PARTITION BY source ORDER BY score DESC, term ASC) AS INT) AS rnk"
+        " FROM scored) WHERE rnk <= 3"
+    )
+
+
+@_register("tfidf_top_terms", _tfidf_sql())
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per source (textstats.tfidf_top_terms) —
+    corpus keyword extraction.  Uses the rational-idf variant
+    (exact-int (N+1)/(df+1), no libm) so Spark and the oracle are
+    bit-identical; the standard log variant is the library default."""
+    from quality_filter.textstats import tfidf_top_terms
+
+    out = tfidf_top_terms(_docs(spark, sf_dir), k=3, log_idf=False)
+    return out.select(
+        "source",
+        "term",
+        "rnk",
+        F.col("sum_tf").cast("bigint").alias("sum_tf"),
+        F.col("df").cast("bigint").alias("df"),
+        "score",
+    )

@@ -458,3 +458,56 @@ def gopher_filter(
         keep = keep & F.col("repetition_keep")
     out = out.filter(keep)
     return out if keep_metrics else out.select(*in_cols)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    log_idf: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF terms per group (e.g. per source): corpus keyword
+    extraction / domain profiling.
+
+    Scale shape: the doc-term count is a map-side-combinable hash
+    aggregate over exploded words; document frequency is a second
+    combinable aggregate over the SAME doc-term table (already distinct
+    per doc, so no extra distinct pass); the corpus size joins in as a
+    broadcast one-row aggregate; the final top-k is a window on the
+    group key — report-shaped output (|groups|·k rows), so the window's
+    per-group sort touches |vocab-per-group| rows, not the corpus.
+
+    ``log_idf=True`` uses the standard smoothed ``ln((N+1)/(df+1)) + 1``;
+    ``log_idf=False`` uses the rational ``(N+1)/(df+1)`` — same ranking
+    for any fixed df ordering and bit-identical across engines (exact-int
+    division, no libm), which is what the oracle-checked driver query
+    pins.  Returns (group, term, rnk, sum_tf, df, score)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != F.lit(""))
+    dt = (
+        docs.select(id_col, group_col, F.explode(words).alias("term"))
+        .groupBy(id_col, group_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    grouped = dt.groupBy(group_col, "term").agg(F.sum("tf").alias("sum_tf"))
+    ratio = (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    idf = (F.log(ratio) + F.lit(1.0)) if log_idf else ratio
+    scored = (
+        grouped.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("sum_tf").cast("double") * idf)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(group_col, "term", "rnk", "sum_tf", "df", "score")
+    )
