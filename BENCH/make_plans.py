@@ -388,6 +388,24 @@ def main() -> None:
         plan_of(c4) + "\n--- gopher ---\n" + plan_of(gopher),
     ))
 
+    from quality_filter.textstats import tfidf_top_terms
+
+    tfidf = tfidf_top_terms(df.withColumn("source", F.lit("s")), k=3)
+    sections.append((
+        "TF-IDF top terms (combinable aggregates + broadcast count)",
+        "Three aggregates and one window, all in their cheapest shapes: "
+        "the doc-term count and the df count are partial_count hash "
+        "aggregates (map-side combinable — the exploded word stream "
+        "combines before its exchange), the one-row corpus count joins "
+        "via BroadcastExchange (never a shuffle), and the top-k window "
+        "partitions on the group key so its sort touches per-group "
+        "vocabulary, not the corpus.",
+        "\n".join(
+            l for l in plan_of(tfidf).splitlines()
+            if any(k in l for k in ("Aggregate", "Exchange", "Window", "Join", "Generate"))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
