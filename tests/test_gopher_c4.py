@@ -360,3 +360,44 @@ def test_tfidf_log_variant_monotone(spark):
     rat = [r["term"] for r in tfidf_top_terms(docs, k=4, log_idf=False).collect()]
     log = [r["term"] for r in tfidf_top_terms(docs, k=4, log_idf=True).collect()]
     assert rat == log
+
+
+def test_tfidf_property_pin(spark):
+    """Seeded random corpora: tfidf_top_terms(log_idf=False) equals a
+    pure-Python reference exactly — scores are exact-int arithmetic in
+    doubles, ranking ties break on term asc."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)] + ["the", "naïve", "中文"]
+    docs = []
+    for d in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        docs.append((d, " ".join(words), f"s{d % 3}"))
+
+    # python reference
+    N = len(docs)
+    df_counter = Counter()
+    per_group = defaultdict(Counter)
+    for _, text, src in docs:
+        ws = text.split()
+        df_counter.update(set(ws))
+        per_group[src].update(ws)
+    want = {}
+    for src, counts in per_group.items():
+        scored = sorted(
+            ((tf * ((N + 1.0) / (df_counter[t] + 1.0)), t, tf) for t, tf in counts.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        want[src] = [(t, rnk + 1, tf, df_counter[t], sc)
+                     for rnk, (sc, t, tf) in enumerate(scored)]
+
+    from quality_filter.textstats import tfidf_top_terms
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = defaultdict(list)
+    for r in sorted(tfidf_top_terms(sdf, k=3, log_idf=False).collect(),
+                    key=lambda r: (r["source"], r["rnk"])):
+        got[r["source"]].append((r["term"], r["rnk"], r["sum_tf"], r["df"], r["score"]))
+    assert dict(got) == want
