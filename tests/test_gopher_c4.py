@@ -401,3 +401,20 @@ def test_tfidf_property_pin(spark):
                     key=lambda r: (r["source"], r["rnk"])):
         got[r["source"]].append((r["term"], r["rnk"], r["sum_tf"], r["df"], r["score"]))
     assert dict(got) == want
+
+
+def test_gates_linear_on_giant_document(spark):
+    """The O(n)-per-doc claim: a ~100k-word, 8k-line document flows
+    through ALL gate metrics in one pass with correct values (the
+    dup-fraction fold is array_distinct + sums, never a pair scan)."""
+    from quality_filter.textstats import with_gopher_flags, with_gopher_repetition
+
+    n_lines = 8_000  # 96k words — giant, but under Gopher's own 100k cap
+    lines = [f"unique line {i} with the usual stopwords to be of use here." for i in range(n_lines)]
+    lines[n_lines // 2] = lines[0]          # exactly one duplicate line
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = with_gopher_repetition(with_gopher_flags(df)).collect()[0]
+    assert r["word_count"] == n_lines * 12
+    assert r["dup_line_frac"] == 1 / n_lines
+    assert r["gopher_keep"] is True and r["repetition_keep"] is True
