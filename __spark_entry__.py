@@ -59,7 +59,7 @@ _R6_HEAD = [
     "doc_cleanliness_bucket", "min_doc_length",
     # new in round 6 — never stamped, so they take window priority
     "gopher_quality_flags", "c4_line_filter", "gopher_repetition",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "paragraph_dedup_docs",
 ]
 _R6_TAIL = [
     "pack_chunks", "pack_sequences", "top_quality_docs",
@@ -70,6 +70,7 @@ _R6_TAIL = [
     # moved to tail to offset the new head rows: r5-green, untouched by
     # any round-6 code path
     "repetition_stats", "doc_fingerprint", "reassemble_docs", "scrub_pii",
+    "doc_quality_score",
 ]
 
 

@@ -46,6 +46,7 @@ def build_pretrain_corpus(
     verify_exact: bool = False,
     max_bucket_size: int | None = 1000,
     substring_k: int | None = None,
+    paragraph_dedup: bool = False,
     decontaminate_n: int = 8,
     with_counts: bool = False,
 ):
@@ -83,6 +84,19 @@ def build_pretrain_corpus(
     if substring_k is not None:
         cur = cur.withColumn(text_col, F.col("clean_text")).select(*in_cols)
     counts["after_dedup"] = cur
+    if paragraph_dedup:
+        # corpus-wide paragraph grain (Dolma-style), after doc dedup so a
+        # paragraph's canonical occurrence is in a canonical document
+        from quality_filter.dedup import paragraph_dedup as _para
+
+        spans = _para(cur, id_col, text_col)
+        cur = (
+            cur.drop(text_col)
+            .join(spans.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*in_cols)
+        )
+        counts["after_paragraph_dedup"] = cur
     if benchmark is not None:
         flags = decontaminate(cur, benchmark, id_col, text_col, n=decontaminate_n)
         cur = cur.join(

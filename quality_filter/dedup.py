@@ -731,3 +731,71 @@ def substring_dedup(
             ),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup (the Dolma-style pass between
+    whole-document dedup and word-gram span dedup): every blank-line
+    separated paragraph survives only at its first occurrence —
+    ``min(struct(id, para_idx))`` across the corpus — and later
+    occurrences are removed from their documents.
+
+    Scale shape: posexplode → one map-side-combinable ``min(struct)``
+    aggregate keyed on the paragraph, an equi-join back (the aggregated
+    side is ONE row per distinct paragraph, so a boilerplate paragraph
+    repeated 10^9 times joins against a single row — no giant window
+    partition, which is why this is an aggregate and not a
+    ``row_number`` over the paragraph key), and an ordered group-concat
+    per document.  The shuffle key here is the paragraph text; a
+    production corpus swaps in ``xxhash64(paragraph)`` (128-bit via two
+    seeds if collision-paranoid) so the exchange carries 8-16 bytes per
+    paragraph — the oracle-checked query keeps the text key so both
+    engines compare exact equality.
+
+    Returns (id, clean_text, n_paras_kept, n_paras_total)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = F.filter(F.split(text, r"\n{2,}"), lambda p: p != F.lit(""))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(paras).alias("para_idx", "para")
+    )
+    first = exploded.groupBy("para").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("first")
+    )
+    kept = (
+        exploded.join(first, "para")
+        .filter(
+            (F.col("first")[id_col] == F.col(id_col))
+            & (F.col("first")["para_idx"] == F.col("para_idx"))
+        )
+        .drop("first")
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("para_idx"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(paras).alias("n_paras_total")
+    )
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_paras_kept"), F.lit(0)).cast("int").alias(
+                "n_paras_kept"
+            ),
+            F.col("n_paras_total").cast("int"),
+        )
+    )

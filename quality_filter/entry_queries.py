@@ -2595,3 +2595,38 @@ def q_tfidf_top_terms(spark, sf_dir):
         F.col("df").cast("bigint").alias("df"),
         "score",
     )
+
+
+def _para_dedup_sql() -> str:
+    paras = "list_filter(regexp_split_to_array(text, '\\n{2,}'), p -> p <> '')"
+    return (
+        f"WITH {_C4WORLD_CTE}, {_REPWORLD_CTE}, "
+        f"pbase AS (SELECT doc_id, {paras} AS ps FROM repworld), "
+        "ex AS (SELECT doc_id, i AS para_idx, ps[i + 1] AS para"
+        " FROM pbase, unnest(range(0, len(ps))) AS t(i)), "
+        "marked AS (SELECT *, row_number() OVER ("
+        " PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM ex), "
+        "kept AS (SELECT doc_id,"
+        " string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS clean_text,"
+        " count(*) AS n_kept FROM marked WHERE rn = 1 GROUP BY doc_id) "
+        "SELECT p.doc_id, coalesce(k.clean_text, '') AS clean_text,"
+        " CAST(coalesce(k.n_kept, 0) AS INT) AS n_paras_kept,"
+        " CAST(len(p.ps) AS INT) AS n_paras_total "
+        "FROM pbase p LEFT JOIN kept k ON p.doc_id = k.doc_id"
+    )
+
+
+@_register("paragraph_dedup_docs", _para_dedup_sql())
+def q_paragraph_dedup_docs(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (dedup.paragraph_dedup — the
+    Dolma-style pass between document dedup and word-gram span dedup)
+    over the duplicate-planted structured world: all-filler docs share
+    identical 6-line filler paragraphs across the corpus, so only the
+    lowest (doc_id, para_idx) occurrence survives.  The oracle uses a
+    row_number window (exactness only); the Spark side is the skew-safe
+    min(struct) aggregate + equi-join."""
+    from quality_filter.dedup import paragraph_dedup
+
+    return paragraph_dedup(_rep_world_spark(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_paras_kept", "n_paras_total"
+    )

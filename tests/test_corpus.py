@@ -108,3 +108,24 @@ def test_substring_passage_dedup_stage(spark):
     # the passage survives in exactly one of the two documents
     assert sum(boiler in t for t in texts.values()) == 1
     assert out[0].__fields__ == ["doc_id", "text"]
+
+
+def test_paragraph_dedup_stage(spark):
+    """paragraph_dedup=True removes cross-document duplicate paragraphs
+    after doc-level dedup; text_col carries the cleaned text."""
+    from quality_filter.corpus import build_pretrain_corpus
+
+    shared = "a shared boilerplate paragraph with the usual words of that kind."
+    docs = spark.createDataFrame(
+        [
+            (1, shared + "\n\nunique tail of the first document here."),
+            (2, shared + "\n\nunique tail of the second document there."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in build_pretrain_corpus(
+        docs, c4=False, gopher=False, paragraph_dedup=True
+    ).collect()}
+    assert shared in out[1]
+    assert shared not in out[2]
+    assert "unique tail of the second" in out[2]

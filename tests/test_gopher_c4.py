@@ -418,3 +418,38 @@ def test_gates_linear_on_giant_document(spark):
     assert r["word_count"] == n_lines * 12
     assert r["dup_line_frac"] == 1 / n_lines
     assert r["gopher_keep"] is True and r["repetition_keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide paragraph dedup (dedup.paragraph_dedup)
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from quality_filter.dedup import paragraph_dedup
+
+    rows = [
+        (1, "shared para one.\n\nunique to one."),
+        (2, "unique to two.\n\nshared para one.\n\nshared para one."),
+        (3, ""),
+        (4, None),
+    ]
+    out = {r["doc_id"]: r for r in paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    # doc 1 (lowest id) keeps the shared paragraph; doc 2 loses BOTH
+    # its cross-doc copy and its within-doc repeat
+    assert out[1]["clean_text"] == "shared para one.\n\nunique to one."
+    assert out[1]["n_paras_kept"] == 2 == out[1]["n_paras_total"]
+    assert out[2]["clean_text"] == "unique to two."
+    assert out[2]["n_paras_kept"] == 1 and out[2]["n_paras_total"] == 3
+    for i in (3, 4):
+        assert out[i]["n_paras_total"] == 0 and out[i]["clean_text"] == ""
+
+
+def test_paragraph_dedup_preserves_order(spark):
+    from quality_filter.dedup import paragraph_dedup
+
+    text = "\n\n".join(f"paragraph number {i} stays." for i in range(10))
+    out = paragraph_dedup(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    assert out["clean_text"] == text  # all unique -> byte-identical round trip
