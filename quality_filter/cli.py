@@ -12,6 +12,10 @@ can run the same jobs here:
         --quality-threshold 0.9 [--filter | --trim]
     python -m quality_filter.cli salvage --data-path IN --save-path OUT \
         [--filter | --trim] [--min-doc-length 250]
+    python -m quality_filter.cli corpus  --data-path DOCS --save-path OUT \
+        [--benchmark-path BENCH] [--no-c4] [--no-gopher] \
+        [--paragraph-dedup] [--substring-k K] [--jaccard-threshold 0.8] \
+        [--verify-exact]          # document tables, prints stage counts
 
 ``--data-path`` accepts parquet dirs or ``*.jsonl[.zst]``
 (``src/classifier_inference_pipeline.py:144-151`` polymorphism);
@@ -87,7 +91,54 @@ def main(argv: list[str] | None = None) -> None:
     # disables the gate), so the default lives here, not in a > 1 remap
     p_salv.set_defaults(min_doc_length=250)
 
+    p_corpus = sub.add_parser(
+        "corpus", help="document-table corpus build: C4+Gopher gates, dedup, decontamination"
+    )
+    p_corpus.add_argument("--data-path", type=str, required=True)
+    p_corpus.add_argument("--save-path", type=str, required=True)
+    p_corpus.add_argument("--benchmark-path", type=str, default=None)
+    p_corpus.add_argument("--no-c4", action="store_true")
+    p_corpus.add_argument("--no-gopher", action="store_true")
+    p_corpus.add_argument("--paragraph-dedup", action="store_true")
+    p_corpus.add_argument("--substring-k", type=int, default=None)
+    p_corpus.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p_corpus.add_argument("--verify-exact", action="store_true")
+    p_corpus.add_argument("--cores", type=int, default=None)
+
     args = parser.parse_args(argv)
+    if args.cmd == "corpus":
+        # the generic dispatch below re-imports SparkSession locally, which
+        # makes the name function-local — import it here too
+        from pyspark.sql import SparkSession
+
+        from quality_filter.corpus import build_pretrain_corpus
+        from quality_filter.session import get_spark as _gs
+
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = _gs("quality_filter_cli", cores=args.cores)
+        docs = spark.read.parquet(args.data_path)
+        bench = (
+            spark.read.parquet(args.benchmark_path)
+            if args.benchmark_path else None
+        )
+        out, stage_counts = build_pretrain_corpus(
+            docs,
+            benchmark=bench,
+            c4=not args.no_c4,
+            gopher=not args.no_gopher,
+            paragraph_dedup=args.paragraph_dedup,
+            substring_k=args.substring_k,
+            jaccard_threshold=args.jaccard_threshold,
+            verify_exact=args.verify_exact,
+            with_counts=True,
+        )
+        out.write.mode("overwrite").parquet(args.save_path)
+        for r in stage_counts.collect():
+            print(f"{r['stage']}: {r['n_docs']}")
+        if not preexisting:
+            spark.stop()
+        return
+
     mode = _mode(args)  # validate filter/trim exclusivity before any IO
     if args.cmd == "filter":
         from quality_filter.labels import parse_labels

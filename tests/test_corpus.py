@@ -129,3 +129,21 @@ def test_paragraph_dedup_stage(spark):
     assert shared in out[1]
     assert shared not in out[2]
     assert "unique tail of the second" in out[2]
+
+
+def test_cli_corpus_subcommand(spark, tmpdir):
+    """`python -m quality_filter.cli corpus` writes the gated+deduped
+    table and prints per-stage counts."""
+    from quality_filter.cli import main
+
+    inp, outp = f"{tmpdir}/docs", f"{tmpdir}/out"
+    docs = _corpus(spark)
+    docs.write.parquet(inp)
+    main([
+        "corpus", "--data-path", inp, "--save-path", outp,
+        "--jaccard-threshold", "0.5",
+    ])
+    got = spark.read.parquet(outp)
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert ids == [1, 6]  # no benchmark -> doc 6 survives
+    assert set(got.columns) == {"doc_id", "text"}
