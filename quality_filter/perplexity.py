@@ -61,13 +61,68 @@ def score_batch(
     return pd.Series(np.round(logppl, 3))
 
 
-def with_perplexity(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append a ``logppl`` column (double, bits per byte)."""
+def train_artifact(
+    corpus: DataFrame, text_col: str = "text"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the trigram LM on a DataFrame corpus — the distributed
+    counterpart of ``build_artifact`` (which uses the embedded seed
+    corpus).  Each Arrow batch bincounts its hashed trigram/context
+    buckets locally and emits only NONZERO (bucket, c3, c2) partials, so
+    the shuffle carries at most DIM rows per batch and the final
+    aggregate is map-side combinable; the driver collects exactly
+    DIM-bounded model rows (model-sized, never corpus-sized — the
+    guards.py policy).  Training on the embedded seed corpus through
+    this path is bit-identical to ``build_artifact`` (pinned by test)."""
+    spark = corpus.sparkSession
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from quality_filter import ngram as ng
+
+        for pdf in batches:
+            h3, h2, _ = ng._batch_hashes(pdf["__text"].fillna("").tolist())
+            c3 = np.bincount(h3, minlength=ng.DIM)
+            c2 = np.bincount(h2, minlength=ng.DIM)
+            nz = np.flatnonzero(c3 | c2)
+            yield pd.DataFrame(
+                {"bucket": nz, "c3": c3[nz], "c2": c2[nz]}
+            )
+
+    partials = corpus.select(
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text")
+    ).mapInPandas(counts, "bucket int, c3 long, c2 long")
+    rows = (
+        partials.groupBy("bucket")
+        .agg(F.sum("c3").alias("c3"), F.sum("c2").alias("c2"))
+        .collect()  # <= DIM rows by construction
+    )
+    c3 = np.zeros(ngram.DIM, dtype=np.float64)
+    c2 = np.zeros(ngram.DIM, dtype=np.float64)
+    for r in rows:
+        c3[r["bucket"]] = r["c3"]
+        c2[r["bucket"]] = r["c2"]
+    lp3 = np.log(c3 + SMOOTH_K).astype(np.float32)
+    lp2 = np.log(c2 + SMOOTH_K * 256.0).astype(np.float32)
+    return lp3, lp2
+
+
+def with_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    artifact: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Append a ``logppl`` column (double, bits per byte).  ``artifact``
+    swaps in a corpus-trained model from ``train_artifact`` (default:
+    the embedded multilingual seed model)."""
     spark = df.sparkSession
     from quality_filter.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    bc = spark.sparkContext.broadcast(build_artifact())
+    bc = spark.sparkContext.broadcast(
+        build_artifact() if artifact is None else artifact
+    )
 
     @pandas_udf("double")
     def _ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

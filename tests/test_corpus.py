@@ -147,3 +147,41 @@ def test_cli_corpus_subcommand(spark, tmpdir):
     ids = sorted(r["doc_id"] for r in got.collect())
     assert ids == [1, 6]  # no benchmark -> doc 6 survives
     assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_train_artifact_matches_embedded_build(spark):
+    """Distributed LM training on the embedded seed corpus is
+    bit-identical to the local build_artifact() — integer bincount sums
+    commute across partitions."""
+    import numpy as np
+    from quality_filter.langid import SEED_CORPORA
+    from quality_filter.perplexity import build_artifact, train_artifact
+
+    sents = [s for ss in SEED_CORPORA.values() for s in ss]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sents)], "i long, text string"
+    ).repartition(8)
+    lp3, lp2 = train_artifact(df)
+    ref3, ref2 = build_artifact()
+    assert np.array_equal(lp3, ref3) and np.array_equal(lp2, ref2)
+
+
+def test_corpus_trained_model_scores(spark):
+    """A model trained on natural text assigns lower logppl to natural
+    text than to symbol junk when scoring with the trained artifact."""
+    from quality_filter.langid import SEED_CORPORA
+    from quality_filter.perplexity import train_artifact, with_perplexity
+
+    sents = [s for ss in SEED_CORPORA.values() for s in ss]
+    corpus = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sents)], "i long, text string"
+    )
+    art = train_artifact(corpus)
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "@@##$$%%^^&&**(())__++~~``||@@##$$%%^^&&")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["logppl"] for r in
+           with_perplexity(probe, artifact=art).collect()}
+    assert got[1] < got[2]
