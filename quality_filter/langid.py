@@ -116,6 +116,54 @@ def build_artifact() -> tuple[list[str], np.ndarray]:
     return langs, np.ascontiguousarray(profiles, dtype=np.float32)
 
 
+def train_profiles(
+    corpus: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> tuple[list[str], np.ndarray]:
+    """Train the langid profile matrix on a LABELED DataFrame corpus —
+    the distributed counterpart of ``build_artifact`` (embedded seed
+    corpus).  Per Arrow batch: bincount hashed trigrams per language and
+    emit only nonzero (lang, bucket, c) partials (≤ |langs|·DIM rows per
+    batch on the wire), map-side-combinable sum, model-sized driver
+    collect — same guards-compliant shape as
+    ``perplexity.train_artifact``.  Training on the embedded seed corpus
+    through this path is bit-identical to ``build_artifact`` (pinned by
+    test).  Use with ``with_langid(artifact=…)``."""
+    spark = corpus.sparkSession
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+
+    def counts(batches):
+        from quality_filter import ngram as ng
+
+        for pdf in batches:
+            for lang, grp in pdf.groupby(lang_col, sort=True):
+                hashes, _ = ng.batch_trigram_hashes(
+                    grp["__text"].fillna("").tolist()
+                )
+                c = np.bincount(hashes, minlength=ng.DIM)
+                nz = np.flatnonzero(c)
+                yield pd.DataFrame(
+                    {"lang": lang, "bucket": nz, "c": c[nz]}
+                )
+
+    partials = corpus.select(
+        F.col(lang_col), F.coalesce(F.col(text_col), F.lit("")).alias("__text")
+    ).mapInPandas(counts, f"{lang_col} string, bucket int, c long")
+    rows = (
+        partials.groupBy(lang_col, "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()  # <= |langs| * DIM rows by construction
+    )
+    langs = sorted({r[lang_col] for r in rows})
+    li = {l: i for i, l in enumerate(langs)}
+    cmat = np.zeros((len(langs), ngram.DIM), dtype=np.float64)
+    for r in rows:
+        cmat[li[r[lang_col]], r["bucket"]] = r["c"]
+    profiles = np.stack([ngram.log_profile(cmat[i]) for i in range(len(langs))])
+    return langs, np.ascontiguousarray(profiles, dtype=np.float32)
+
+
 def score_batch(
     texts: pd.Series,
     langs: list[str],
@@ -162,14 +210,20 @@ def score_batch(
     return pd.DataFrame({"lang": lang_out, "lang_prob": prob_out})
 
 
-def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_langid(
+    df: DataFrame,
+    text_col: str = "text",
+    artifact: tuple[list[str], np.ndarray] | None = None,
+) -> DataFrame:
     """Append ``lang`` / ``lang_prob`` columns via a SCALAR_ITER pandas UDF
-    (model loaded once per executor python worker, broadcast artifact)."""
+    (model loaded once per executor python worker, broadcast artifact).
+    ``artifact`` swaps in a corpus-trained model from ``train_profiles``
+    (default: the embedded multilingual seed model)."""
     spark = df.sparkSession
     from quality_filter.shipping import ensure_shipped
 
     ensure_shipped(spark)
-    langs, profiles = build_artifact()
+    langs, profiles = build_artifact() if artifact is None else artifact
     bc = spark.sparkContext.broadcast((langs, profiles))
 
     @pandas_udf("struct<lang:string, lang_prob:double>")

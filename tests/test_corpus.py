@@ -185,3 +185,25 @@ def test_corpus_trained_model_scores(spark):
     got = {r["doc_id"]: r["logppl"] for r in
            with_perplexity(probe, artifact=art).collect()}
     assert got[1] < got[2]
+
+
+def test_train_profiles_matches_embedded_build(spark):
+    """Distributed langid training on the embedded labeled seed corpus is
+    bit-identical to build_artifact(); a model trained this way predicts
+    held-in languages through with_langid(artifact=...)."""
+    import numpy as np
+    from quality_filter.langid import SEED_CORPORA, build_artifact, train_profiles, with_langid
+
+    rows = [(lang, s) for lang, ss in SEED_CORPORA.items() for s in ss]
+    df = spark.createDataFrame(rows, "lang string, text string").repartition(8)
+    langs, profiles = train_profiles(df)
+    ref_langs, ref_profiles = build_artifact()
+    assert langs == ref_langs
+    assert np.array_equal(profiles, ref_profiles)
+
+    probe = spark.createDataFrame(
+        [(1, "the committee reviewed the proposal and agreed to proceed with it")],
+        "doc_id long, text string",
+    )
+    got = with_langid(probe, artifact=(langs, profiles)).collect()[0]
+    assert got["lang"] == "en"
