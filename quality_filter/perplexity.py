@@ -73,10 +73,21 @@ def train_artifact(
     DIM-bounded model rows (model-sized, never corpus-sized — the
     guards.py policy).  Training on the embedded seed corpus through
     this path is bit-identical to ``build_artifact`` (pinned by test)."""
-    spark = corpus.sparkSession
+    rows = _counts_partials(corpus, text_col).collect()  # <= DIM rows
+    c3 = np.zeros(ngram.DIM, dtype=np.float64)
+    c2 = np.zeros(ngram.DIM, dtype=np.float64)
+    for r in rows:
+        c3[r["bucket"]] = r["c3"]
+        c2[r["bucket"]] = r["c2"]
+    lp3 = np.log(c3 + SMOOTH_K).astype(np.float32)
+    lp2 = np.log(c2 + SMOOTH_K * 256.0).astype(np.float32)
+    return lp3, lp2
+
+
+def _counts_partials(corpus: DataFrame, text_col: str) -> DataFrame:
     from quality_filter.shipping import ensure_shipped
 
-    ensure_shipped(spark)
+    ensure_shipped(corpus.sparkSession)
 
     def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from quality_filter import ngram as ng
@@ -86,18 +97,28 @@ def train_artifact(
             c3 = np.bincount(h3, minlength=ng.DIM)
             c2 = np.bincount(h2, minlength=ng.DIM)
             nz = np.flatnonzero(c3 | c2)
-            yield pd.DataFrame(
-                {"bucket": nz, "c3": c3[nz], "c2": c2[nz]}
-            )
+            yield pd.DataFrame({"bucket": nz, "c3": c3[nz], "c2": c2[nz]})
 
     partials = corpus.select(
         F.coalesce(F.col(text_col), F.lit("")).alias("__text")
     ).mapInPandas(counts, "bucket int, c3 long, c2 long")
-    rows = (
-        partials.groupBy("bucket")
-        .agg(F.sum("c3").alias("c3"), F.sum("c2").alias("c2"))
-        .collect()  # <= DIM rows by construction
+    return partials.groupBy("bucket").agg(
+        F.sum("c3").alias("c3"), F.sum("c2").alias("c2")
     )
+
+
+def write_model(corpus: DataFrame, path: str, text_col: str = "text") -> None:
+    """Train and PERSIST the LM as a (bucket, c3, c2) parquet table —
+    fully distributed (the training job never collects to the driver;
+    raw counts are stored so ``SMOOTH_K`` can change at load time).
+    Load with ``read_model``."""
+    _counts_partials(corpus, text_col).write.mode("overwrite").parquet(path)
+
+
+def read_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load a ``write_model`` table into the broadcastable (lp3, lp2)
+    artifact (one model-sized collect, ≤ DIM rows)."""
+    rows = spark.read.parquet(path).collect()
     c3 = np.zeros(ngram.DIM, dtype=np.float64)
     c2 = np.zeros(ngram.DIM, dtype=np.float64)
     for r in rows:

@@ -207,3 +207,22 @@ def test_train_profiles_matches_embedded_build(spark):
     )
     got = with_langid(probe, artifact=(langs, profiles)).collect()[0]
     assert got["lang"] == "en"
+
+
+def test_lm_write_read_roundtrip(spark, tmpdir):
+    """write_model persists the LM as a (bucket, c3, c2) parquet table
+    with NO driver collect on the training job; read_model rebuilds an
+    artifact bit-identical to direct training."""
+    import numpy as np
+    from quality_filter.langid import SEED_CORPORA
+    from quality_filter.perplexity import read_model, train_artifact, write_model
+
+    sents = [s for ss in SEED_CORPORA.values() for s in ss]
+    corpus = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sents)], "i long, text string"
+    )
+    path = f"{tmpdir}/lm_model"
+    write_model(corpus, path)
+    got3, got2 = read_model(spark, path)
+    ref3, ref2 = train_artifact(corpus)
+    assert np.array_equal(got3, ref3) and np.array_equal(got2, ref2)
