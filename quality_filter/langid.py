@@ -147,9 +147,11 @@ def train_profiles(
                     {"lang": lang, "bucket": nz, "c": c[nz]}
                 )
 
-    partials = corpus.select(
-        F.col(lang_col), F.coalesce(F.col(text_col), F.lit("")).alias("__text")
-    ).mapInPandas(counts, f"{lang_col} string, bucket int, c long")
+    partials = (
+        corpus.filter(F.col(lang_col).isNotNull())  # unlabeled rows train nothing
+        .select(F.col(lang_col), F.coalesce(F.col(text_col), F.lit("")).alias("__text"))
+        .mapInPandas(counts, f"{lang_col} string, bucket int, c long")
+    )
     rows = (
         partials.groupBy(lang_col, "bucket")
         .agg(F.sum("c").alias("c"))
