@@ -121,7 +121,7 @@ def main(argv: list[str] | None = None) -> None:
             spark.read.parquet(args.benchmark_path)
             if args.benchmark_path else None
         )
-        out, stage_counts = build_pretrain_corpus(
+        out, resolve_counts = build_pretrain_corpus(
             docs,
             benchmark=bench,
             c4=not args.no_c4,
@@ -133,7 +133,9 @@ def main(argv: list[str] | None = None) -> None:
             with_counts=True,
         )
         out.write.mode("overwrite").parquet(args.save_path)
-        for r in stage_counts.collect():
+        # counts were observed as a side effect of the write — zero
+        # extra scans (resolve AFTER the action, per the corpus contract)
+        for r in resolve_counts().collect():
             print(f"{r['stage']}: {r['n_docs']}")
         if not preexisting:
             spark.stop()

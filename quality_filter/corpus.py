@@ -22,15 +22,26 @@ Stage order and why it matters at scale:
    the benchmark set via a broadcast probe; runs after dedup so each
    surviving cluster representative is probed once, not once per copy.
 
-Returns the surviving rows plus a `stage_counts` accounting DataFrame
-when ``with_counts=True``.  Note the connected-components stage inside
-``dedup_pipeline`` is iterative and therefore runs jobs when the
-composition is built (convergence checks are inherent to CC); the
-gate/scan stages stay lazy until an action."""
+Returns the surviving rows plus a `resolve_counts` callable when
+``with_counts=True``.  Stage accounting is SINGLE-PASS: each boundary
+carries a ``df.observe`` count that Spark collects as a side effect of
+whatever action the caller runs (no per-stage ``.count()`` job, so a
+100-TB build scans each stage once, not once per stage printed — the
+pre-r7 implementation ran one full-lineage count per stage, ~5×
+end-to-end work).  Call ``resolve_counts()`` only AFTER materializing
+the returned rows (e.g. after the output write); Spark's ``Observation``
+locks in the first completed execution of each observed node and is
+stable across later actions (probed: exactly-once under self-joins,
+broadcast and sort-merge reuse, and repeated actions).  Note the
+connected-components stage inside ``dedup_pipeline`` is iterative and
+therefore runs jobs when the composition is built (convergence checks
+are inherent to CC); the gate/scan stages stay lazy until an action."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -47,6 +58,7 @@ def build_pretrain_corpus(
     max_bucket_size: int | None = 1000,
     substring_k: int | None = None,
     paragraph_dedup: bool = False,
+    paragraph_key: str = "hash",
     decontaminate_n: int = 8,
     with_counts: bool = False,
 ):
@@ -61,17 +73,25 @@ def build_pretrain_corpus(
     from quality_filter.textstats import c4_line_filter, gopher_filter
 
     in_cols = docs.columns
-    counts: dict[str, DataFrame] = {"input": docs}
+    observations: list[tuple[str, Observation]] = []
 
-    cur = docs
+    def _observed(df: DataFrame, stage: str) -> DataFrame:
+        """Thread a zero-job observe-count through the stage boundary."""
+        if not with_counts:
+            return df
+        obs = Observation(f"corpus_{stage}")
+        observations.append((stage, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("n_docs"))
+
+    cur = _observed(docs, "input")
     if c4:
         cleaned = c4_line_filter(cur, text_col)
         # downstream stages see the surviving lines only
         cur = cleaned.withColumn(text_col, F.col("clean_text")).select(*in_cols)
-        counts["after_c4"] = cur
+        cur = _observed(cur, "after_c4")
     if gopher:
         cur = gopher_filter(cur, text_col, with_repetition=gopher_repetition)
-        counts["after_gopher"] = cur
+        cur = _observed(cur, "after_gopher")
     cur = dedup_pipeline(
         cur,
         id_col=id_col,
@@ -83,30 +103,41 @@ def build_pretrain_corpus(
     )
     if substring_k is not None:
         cur = cur.withColumn(text_col, F.col("clean_text")).select(*in_cols)
-    counts["after_dedup"] = cur
+    cur = _observed(cur, "after_dedup")
     if paragraph_dedup:
         # corpus-wide paragraph grain (Dolma-style), after doc dedup so a
         # paragraph's canonical occurrence is in a canonical document
         from quality_filter.dedup import paragraph_dedup as _para
 
-        spans = _para(cur, id_col, text_col)
+        # hash key by default: the 100-TB exchange carries a 16-byte
+        # fingerprint per paragraph, not the paragraph (output-identical,
+        # pinned by test_round7.py)
+        spans = _para(cur, id_col, text_col, key=paragraph_key)
         cur = (
             cur.drop(text_col)
             .join(spans.select(id_col, "clean_text"), id_col)
             .withColumnRenamed("clean_text", text_col)
             .select(*in_cols)
         )
-        counts["after_paragraph_dedup"] = cur
+        cur = _observed(cur, "after_paragraph_dedup")
     if benchmark is not None:
         flags = decontaminate(cur, benchmark, id_col, text_col, n=decontaminate_n)
         cur = cur.join(
             flags.filter(~F.col("contaminated")).select(id_col), id_col, "semi"
         )
-        counts["after_decontaminate"] = cur
+        cur = _observed(cur, "after_decontaminate")
 
     if not with_counts:
         return cur
-    rows = [(k, df.count()) for k, df in counts.items()]
+
     spark = docs.sparkSession
-    stage_counts = spark.createDataFrame(rows, "stage string, n_docs long")
-    return cur, stage_counts
+
+    def resolve_counts() -> DataFrame:
+        """Stage survivor counts, harvested from the observations the
+        caller's action already computed — call AFTER materializing the
+        returned rows (``Observation.get`` blocks until its node has
+        executed once)."""
+        rows = [(stage, int(obs.get["n_docs"])) for stage, obs in observations]
+        return spark.createDataFrame(rows, "stage string, n_docs long")
+
+    return cur, resolve_counts

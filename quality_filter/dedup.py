@@ -737,6 +737,7 @@ def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key: str = "text",
 ) -> DataFrame:
     """Corpus-wide exact PARAGRAPH dedup (the Dolma-style pass between
     whole-document dedup and word-gram span dedup): every blank-line
@@ -750,28 +751,44 @@ def paragraph_dedup(
     repeated 10^9 times joins against a single row — no giant window
     partition, which is why this is an aggregate and not a
     ``row_number`` over the paragraph key), and an ordered group-concat
-    per document.  The shuffle key here is the paragraph text; a
-    production corpus swaps in ``xxhash64(paragraph)`` (128-bit via two
-    seeds if collision-paranoid) so the exchange carries 8-16 bytes per
-    paragraph — the oracle-checked query keeps the text key so both
-    engines compare exact equality.
+    per document.
+
+    ``key`` picks the shuffle/join key:
+
+    * ``"text"`` — the paragraph string itself: exact equality, the
+      oracle-checked default (both engines compare the same bytes).
+    * ``"hash"`` — ``struct(xxhash64(p), xxhash64(p, 1))``: a 128-bit
+      fingerprint, so the aggregate exchange carries 16 bytes per
+      distinct paragraph instead of the paragraph, and the join
+      hashes/compares two longs instead of arbitrarily long strings —
+      the 100-TB production key (collision odds across two independent
+      64-bit seeds are ~n²/2¹²⁹).  Output-identical to ``"text"``
+      absent a collision (pinned by test).
 
     Returns (id, clean_text, n_paras_kept, n_paras_total)."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash', got {key!r}")
     text = F.coalesce(F.col(text_col), F.lit(""))
     paras = F.filter(F.split(text, r"\n{2,}"), lambda p: p != F.lit(""))
     exploded = df.select(
         F.col(id_col), F.posexplode(paras).alias("para_idx", "para")
     )
-    first = exploded.groupBy("para").agg(
+    if key == "hash":
+        exploded = exploded.withColumn(
+            "pkey", F.struct(F.xxhash64("para"), F.xxhash64("para", F.lit(1)))
+        )
+    else:
+        exploded = exploded.withColumn("pkey", F.col("para"))
+    first = exploded.groupBy("pkey").agg(
         F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("first")
     )
     kept = (
-        exploded.join(first, "para")
+        exploded.join(first, "pkey")
         .filter(
             (F.col("first")[id_col] == F.col(id_col))
             & (F.col("first")["para_idx"] == F.col("para_idx"))
         )
-        .drop("first")
+        .drop("first", "pkey")
     )
     agg = kept.groupBy(id_col).agg(
         F.array_join(

@@ -113,6 +113,11 @@ ORACLES: dict[str, str] = {}
 
 def _register(name: str, sql: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # A silent dict overwrite would REPLACE an already-verified
+            # query with an unstamped one (bit us in r5/r6 with shadowed
+            # langid_turns/perplexity_turns rows) — fail loudly instead.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -738,24 +743,9 @@ def q_full_clean_reassemble(spark, sf_dir):
     return reassemble(scrubbed, "scrubbed_text").select("conv_id", "text", "n_turns")
 
 
-# -- UDF scorers (no SQL oracle → rows-only driver check) -------------------
-
-@_register("langid_turns")
-def q_langid_turns(spark, sf_dir):
-    """M5: fastText-style langid pandas UDF (rows-only check)."""
-    from quality_filter.langid import with_langid
-
-    docs = _docs(spark, sf_dir)
-    return with_langid(docs).select("doc_id", "lang", "lang_prob")
-
-
-@_register("perplexity_turns")
-def q_perplexity_turns(spark, sf_dir):
-    """M6: KenLM-style perplexity pandas UDF (rows-only check)."""
-    from quality_filter.perplexity import with_perplexity
-
-    docs = _docs(spark, sf_dir)
-    return with_perplexity(docs.select("doc_id", "text")).select("doc_id", "logppl")
+# (The former rows-only langid_turns/perplexity_turns registrations that
+# lived here were upgraded to arithmetic-oracle rows below; _register now
+# raises on duplicate names, so shadowing is impossible.)
 
 
 # ---------------------------------------------------------------------------
@@ -2628,5 +2618,174 @@ def q_paragraph_dedup_docs(spark, sf_dir):
     from quality_filter.dedup import paragraph_dedup
 
     return paragraph_dedup(_rep_world_spark(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_paras_kept", "n_paras_total"
+    )
+
+
+# -- r7: trained-artifact round trips (train → persist → reload → score) -----
+#
+# The planted labeled training world is one row per residue class
+# r ∈ [0, M): lang = langs[r % |langs|], text = the same two-seed-sentence
+# construction as _seed_text_col.  Deriving it from DISTINCT doc_id % M
+# makes the corpus independent of sf (every sf's documents table covers all
+# M residues), so the oracle can state the trained model's outputs as
+# literals computed from an INDEPENDENT driver-side numpy replication of
+# the training math — the distributed trainer must reproduce the exact
+# counts → profile → score chain to hash-match.
+
+
+def _train_world_m() -> int:
+    import math
+
+    from quality_filter.langid import SEED_CORPORA
+
+    langs = _seed_langs()
+    m = len(langs)
+    for n in {len(SEED_CORPORA[lang]) for lang in langs}:
+        m = m * n // math.gcd(m, n)
+    return m
+
+
+def _train_world_rows() -> list[tuple[int, str, str]]:
+    """(residue, lang, text) for every residue class of the planted world."""
+    from quality_filter.langid import SEED_CORPORA
+
+    langs = _seed_langs()
+    out = []
+    for r in range(_train_world_m()):
+        lang = langs[r % len(langs)]
+        sents = SEED_CORPORA[lang]
+        n = len(sents)
+        out.append((r, lang, sents[r % n] + " " + sents[(r * 7 + 3) % n]))
+    return out
+
+
+def _train_corpus_spark(spark, sf_dir) -> DataFrame:
+    """The planted world as a DataFrame: DISTINCT doc_id % M → (doc_id=r,
+    lang_label, text).  The label column is deliberately NOT named 'lang'
+    so the driver row also regression-covers train_profiles' support for
+    arbitrary label column names (ADVICE r6)."""
+    langs = _seed_langs()
+    m = _train_world_m()
+    lang = F.element_at(
+        F.array(*[F.lit(l) for l in langs]),
+        (F.col("doc_id") % len(langs)).cast("int") + 1,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select((F.col("doc_id") % m).alias("doc_id"))
+        .distinct()
+        .select("doc_id", lang.alias("lang_label"), _seed_text_col().alias("text"))
+    )
+
+
+def _trained_langid_sql() -> str:
+    import numpy as np
+    import pandas as pd
+
+    from quality_filter import langid, ngram
+
+    rows = _train_world_rows()
+    langs = _seed_langs()
+    li = {l: i for i, l in enumerate(langs)}
+    cmat = np.zeros((len(langs), ngram.DIM), dtype=np.float64)
+    for _, lang, text in rows:
+        h, _off = ngram.batch_trigram_hashes([text])
+        cmat[li[lang]] += np.bincount(h, minlength=ngram.DIM)
+    profiles = np.ascontiguousarray(
+        np.stack([ngram.log_profile(cmat[i]) for i in range(len(langs))]),
+        dtype=np.float32,
+    )
+    preds = langid.score_batch(pd.Series([t for _, _, t in rows]), langs, profiles)
+    m = len(rows)
+    lang_cases = " ".join(
+        f"WHEN {r} THEN '{preds['lang'][r]}'" for r in range(m)
+    )
+    prob_cases = " ".join(
+        f"WHEN {r} THEN {float(preds['lang_prob'][r])!r}" for r in range(m)
+    )
+    return (
+        f"SELECT doc_id, CASE CAST(doc_id % {m} AS INT) {lang_cases} END AS lang, "
+        f"CAST(CASE CAST(doc_id % {m} AS INT) {prob_cases} END AS DOUBLE) "
+        "AS lang_prob FROM documents"
+    )
+
+
+@_register("langid_train_score", _trained_langid_sql())
+def q_langid_train_score(spark, sf_dir):
+    """M5 training round trip: train the langid profile matrix ON-CLUSTER
+    (langid.train_profiles — mapInPandas nonzero partials → map-side
+    combinable sum → model-sized guarded collect) over the planted labeled
+    world, then score the documents table with the trained artifact
+    through the production pandas-UDF path.  Uses a non-default label
+    column name (lang_label) on purpose."""
+    from quality_filter.langid import train_profiles, with_langid
+
+    corpus = _train_corpus_spark(spark, sf_dir)
+    artifact = train_profiles(corpus, text_col="text", lang_col="lang_label")
+    docs = _docs(spark, sf_dir).select("doc_id", _seed_text_col().alias("text"))
+    return with_langid(docs, artifact=artifact).select(
+        "doc_id", "lang", "lang_prob"
+    )
+
+
+def _trained_ppl_sql() -> str:
+    import numpy as np
+    import pandas as pd
+
+    from quality_filter import ngram, perplexity
+
+    texts = [t for _, _, t in _train_world_rows()]
+    h3, h2, _ = ngram._batch_hashes(texts)
+    c3 = np.zeros(ngram.DIM, dtype=np.float64)
+    c2 = np.zeros(ngram.DIM, dtype=np.float64)
+    c3 += np.bincount(h3, minlength=ngram.DIM)
+    c2 += np.bincount(h2, minlength=ngram.DIM)
+    lp3 = np.log(c3 + perplexity.SMOOTH_K).astype(np.float32)
+    lp2 = np.log(c2 + perplexity.SMOOTH_K * 256.0).astype(np.float32)
+    vals = perplexity.score_batch(pd.Series(texts), lp3, lp2)
+    m = len(texts)
+    cases = " ".join(f"WHEN {r} THEN {float(v)!r}" for r, v in enumerate(vals))
+    return (
+        f"SELECT doc_id, CAST(CASE CAST(doc_id % {m} AS INT) {cases} END "
+        "AS DOUBLE) AS logppl FROM documents"
+    )
+
+
+@_register("perplexity_lm_roundtrip", _trained_ppl_sql())
+def q_perplexity_lm_roundtrip(spark, sf_dir):
+    """M6 train→persist→reload→score round trip: perplexity.write_model
+    trains the trigram LM fully distributed and persists raw
+    (bucket, c3, c2) counts as parquet; read_model reloads + smooths;
+    the production pandas UDF scores the documents table with the
+    reloaded artifact.  The oracle is an independent driver-side numpy
+    replication, so any drift in training, persistence, smoothing, or
+    the Arrow scoring path breaks the hash."""
+    import shutil
+    import tempfile
+
+    from quality_filter.perplexity import read_model, with_perplexity, write_model
+
+    corpus = _train_corpus_spark(spark, sf_dir).select("text")
+    path = tempfile.mkdtemp(prefix="qf_r7_lm_")
+    try:
+        write_model(corpus, path)
+        artifact = read_model(spark, path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", _seed_text_col().alias("text"))
+    return with_perplexity(docs, artifact=artifact).select("doc_id", "logppl")
+
+
+@_register("paragraph_dedup_hashed", _para_dedup_sql())
+def q_paragraph_dedup_hashed(spark, sf_dir):
+    """The 100-TB variant of paragraph_dedup: the shuffle/join key is a
+    128-bit xxhash64 fingerprint (16 bytes per distinct paragraph on the
+    exchange) instead of the paragraph text.  Same oracle as
+    paragraph_dedup_docs — the outputs are identical absent a 2^-129
+    collision, which is exactly the claim this row stamps."""
+    from quality_filter.dedup import paragraph_dedup
+
+    return paragraph_dedup(_rep_world_spark(spark, sf_dir), key="hash").select(
         "doc_id", "clean_text", "n_paras_kept", "n_paras_total"
     )

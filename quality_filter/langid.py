@@ -129,39 +129,49 @@ def train_profiles(
     through this path is bit-identical to ``build_artifact`` (pinned by
     test).  Use with ``with_langid(artifact=…)``."""
     spark = corpus.sparkSession
+    from quality_filter.guards import bounded_collect
     from quality_filter.shipping import ensure_shipped
 
     ensure_shipped(spark)
+
+    labeled = corpus.filter(F.col(lang_col).isNotNull())  # unlabeled rows train nothing
+    # Cardinality guard BEFORE the model-sized collect: the final pull is
+    # |langs|*DIM rows, so a garbage/high-cardinality label column would
+    # make it corpus-cardinality-sized.  This probe is a narrow
+    # column-pruned scan (no Arrow stage), nearly free next to training.
+    bounded_collect(
+        labeled.select(F.col(lang_col)).distinct(),
+        f"langid training label vocabulary ({lang_col})",
+    )
 
     def counts(batches):
         from quality_filter import ngram as ng
 
         for pdf in batches:
-            for lang, grp in pdf.groupby(lang_col, sort=True):
+            for lang, grp in pdf.groupby("__lang", sort=True):
                 hashes, _ = ng.batch_trigram_hashes(
                     grp["__text"].fillna("").tolist()
                 )
                 c = np.bincount(hashes, minlength=ng.DIM)
                 nz = np.flatnonzero(c)
                 yield pd.DataFrame(
-                    {"lang": lang, "bucket": nz, "c": c[nz]}
+                    {"__lang": lang, "bucket": nz, "c": c[nz]}
                 )
 
-    partials = (
-        corpus.filter(F.col(lang_col).isNotNull())  # unlabeled rows train nothing
-        .select(F.col(lang_col), F.coalesce(F.col(text_col), F.lit("")).alias("__text"))
-        .mapInPandas(counts, f"{lang_col} string, bucket int, c long")
-    )
+    partials = labeled.select(
+        F.col(lang_col).alias("__lang"),  # fixed internal name: any lang_col works
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
+    ).mapInPandas(counts, "__lang string, bucket int, c long")
     rows = (
-        partials.groupBy(lang_col, "bucket")
+        partials.groupBy("__lang", "bucket")
         .agg(F.sum("c").alias("c"))
-        .collect()  # <= |langs| * DIM rows by construction
+        .collect()  # <= |langs| * DIM rows by construction (guarded above)
     )
-    langs = sorted({r[lang_col] for r in rows})
+    langs = sorted({r["__lang"] for r in rows})
     li = {l: i for i, l in enumerate(langs)}
     cmat = np.zeros((len(langs), ngram.DIM), dtype=np.float64)
     for r in rows:
-        cmat[li[r[lang_col]], r["bucket"]] = r["c"]
+        cmat[li[r["__lang"]], r["bucket"]] = r["c"]
     profiles = np.stack([ngram.log_profile(cmat[i]) for i in range(len(langs))])
     return langs, np.ascontiguousarray(profiles, dtype=np.float32)
 

@@ -45,19 +45,19 @@ def _benchmark(spark):
 def test_full_composition_each_stage_acts(spark):
     from quality_filter.corpus import build_pretrain_corpus
 
-    kept, counts = build_pretrain_corpus(
+    kept, resolve_counts = build_pretrain_corpus(
         _corpus(spark),
         benchmark=_benchmark(spark),
         jaccard_threshold=0.5,
         with_counts=True,
     )
-    c = {r["stage"]: r["n_docs"] for r in counts.collect()}
+    ids = sorted(r["doc_id"] for r in kept.collect())  # the single pass
+    c = {r["stage"]: r["n_docs"] for r in resolve_counts().collect()}
     assert c["input"] == 6
     assert c["after_c4"] == 5              # doc 4 dropped (no surviving lines)
     assert c["after_gopher"] == 4          # doc 5 dropped (dup-line repetition)
     assert c["after_dedup"] == 2           # 1==2 exact; 3 near-dups into 1's cluster
     assert c["after_decontaminate"] == 1   # doc 6 shares benchmark 8-grams
-    ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [1]
     assert kept.columns == ["doc_id", "text"]  # schema preserved
 
