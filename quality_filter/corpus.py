@@ -53,6 +53,7 @@ def build_pretrain_corpus(
     c4: bool = True,
     gopher: bool = True,
     gopher_repetition: bool = True,
+    gate_impl: str = "arrow",
     jaccard_threshold: float = 0.8,
     verify_exact: bool = False,
     max_bucket_size: int | None = 1000,
@@ -83,15 +84,35 @@ def build_pretrain_corpus(
         observations.append((stage, obs))
         return df.observe(obs, F.count(F.lit(1)).alias("n_docs"))
 
+    if gate_impl not in ("arrow", "hof"):
+        raise ValueError(f"gate_impl must be 'arrow' or 'hof', got {gate_impl!r}")
+
     cur = _observed(docs, "input")
-    if c4:
-        cleaned = c4_line_filter(cur, text_col)
-        # downstream stages see the surviving lines only
-        cur = cleaned.withColumn(text_col, F.col("clean_text")).select(*in_cols)
+    if gate_impl == "arrow" and c4 and gopher:
+        # 100-TB hot path: one fused Arrow pass computes the C4 clean +
+        # both gate verdicts (the interpreted HOF chain measured ~2.3×
+        # its wall time — BENCH/r7_gates_ab.json); the verdicts come
+        # back as columns, so per-stage accounting stays exact.
+        from quality_filter.textstats import fused_gate_arrow
+
+        g = fused_gate_arrow(cur, text_col, with_repetition=gopher_repetition)
+        cur = (
+            g.filter(F.col("c4_keep"))
+            .withColumn(text_col, F.col("clean_text"))
+            .select(*in_cols, "gopher_keep")
+        )
         cur = _observed(cur, "after_c4")
-    if gopher:
-        cur = gopher_filter(cur, text_col, with_repetition=gopher_repetition)
+        cur = cur.filter(F.col("gopher_keep")).select(*in_cols)
         cur = _observed(cur, "after_gopher")
+    else:
+        if c4:
+            cleaned = c4_line_filter(cur, text_col)
+            # downstream stages see the surviving lines only
+            cur = cleaned.withColumn(text_col, F.col("clean_text")).select(*in_cols)
+            cur = _observed(cur, "after_c4")
+        if gopher:
+            cur = gopher_filter(cur, text_col, with_repetition=gopher_repetition)
+            cur = _observed(cur, "after_gopher")
     cur = dedup_pipeline(
         cur,
         id_col=id_col,

@@ -163,3 +163,95 @@ def synth_transcripts(
         ),
     )
     return out
+
+
+# --- synthetic pre-training document corpus --------------------------------
+
+# word pool for synth_documents: the 8 Gopher stopwords (high frequency so
+# natural docs clear the stopword gate) + content words; selection is
+# arithmetic on xxhash64, so same seed → identical bytes at any
+# parallelism.  Hash-mixing per (doc, line, word) position matters: a
+# shared-step arithmetic progression would make every document a rotation
+# of one cyclic sequence (i.e. the whole corpus one near-dup chain).
+_DOC_WORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+    "results", "committee", "reviewed", "proposal", "detail", "approach",
+    "quarter", "meeting", "schedule", "report", "analysis", "numbers",
+    "project", "steps", "data", "sorted", "time", "team", "agreed",
+    "measurement", "trials", "observed", "differences", "consistent",
+    "implementation", "argued", "ready", "sound", "review", "process",
+    "update", "summary", "release", "version", "feature", "pipeline",
+    "cluster", "storage", "network", "latency", "throughput", "memory",
+]
+_DOC_BOILERPLATE = (
+    "subscribe to our newsletter for all of the updates and have the "
+    "latest news delivered to be read with your morning coffee."
+)
+
+
+def synth_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    dup_every: int = 23,
+    soup_every: int = 16,
+    brace_every: int = 32,
+    boiler_every: int = 4,
+    parts: int = 64,
+) -> DataFrame:
+    """Deterministic distributed pre-training document corpus
+    (``doc_id, source, text``) for gate/dedup/corpus benchmarks: natural-ish
+    multi-line prose with blank-line paragraph breaks, where most pages
+    survive the C4/Gopher gates and the planted fractions exercise every
+    corpus-build stage — ``dup_every`` exact-duplicate pairs (doc k ≡ doc
+    k−1), ``soup_every`` stopword-free word-soup pages (Gopher stopword
+    rule drops), ``brace_every`` pages containing ``{`` (C4 page rule
+    drops), ``boiler_every`` pages ending in a shared boilerplate
+    paragraph (paragraph-dedup work).  Pure ``spark.range`` + Catalyst
+    expressions: zero driver data, any size, same seed → same bytes."""
+    pool = F.array(*[F.lit(w) for w in _DOC_WORDS])
+    content_pool = F.array(*[F.lit(w) for w in _DOC_WORDS[8:]])
+    ids = spark.range(0, n_docs, 1, parts)
+    is_dup = (F.col("id") % dup_every == 0) & (F.col("id") > 0)
+    cid = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+
+    def h(*cols):
+        return F.xxhash64(F.lit(seed), cid, *cols)
+
+    is_soup = F.pmod(h(F.lit("soup")), F.lit(soup_every)) == 0
+    active_pool = F.when(is_soup, content_pool).otherwise(pool)
+    pool_n = F.size(active_pool)
+    n_lines = (F.pmod(h(F.lit("nl")), F.lit(16)) + 8).cast("int")  # 8..23
+
+    def line_expr(i):
+        n_words = (F.pmod(h(F.lit("nw"), i), F.lit(12)) + 5).cast("int")  # 5..16
+        words = F.transform(
+            F.sequence(F.lit(0), n_words - 1),
+            lambda j: F.element_at(
+                active_pool, F.pmod(h(i, j), pool_n).cast("int") + 1
+            ),
+        )
+        body = F.array_join(words, " ")
+        # ~80% of lines end terminally (C4 keeps them), the rest drop
+        terminal = F.when(F.pmod(h(F.lit("t"), i), F.lit(5)) > 0, F.lit("."))\
+            .otherwise(F.lit(""))
+        # blank-line paragraph break after every 4th line
+        sep = F.when(i % 4 == 3, F.lit("\n")).otherwise(F.lit(""))
+        return F.concat(body, terminal, sep)
+
+    lines = F.transform(F.sequence(F.lit(0), n_lines - 1), line_expr)
+    text = F.array_join(lines, "\n")
+    text = F.when(
+        F.pmod(h(F.lit("boiler")), F.lit(boiler_every)) == 0,
+        F.concat(text, F.lit("\n\n" + _DOC_BOILERPLATE)),
+    ).otherwise(text)
+    text = F.when(
+        F.pmod(h(F.lit("brace")), F.lit(brace_every)) == 0,
+        F.concat(text, F.lit("\nconfig = { unparsed }")),
+    ).otherwise(text)
+    source = F.concat(
+        F.lit("crawl-"), F.pmod(h(F.lit("src")), F.lit(5)).cast("string")
+    )
+    return ids.select(
+        F.col("id").alias("doc_id"), source.alias("source"), text.alias("text")
+    )

@@ -511,3 +511,128 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(group_col, "term", "rnk", "sum_tf", "df", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Arrow gate: C4 line cleaning + Gopher quality + repetition rules in
+# ONE Arrow-batched pass (r7).  The HOF gates above are the oracle-checked
+# reference; this is the 100-TB hot path for the composed corpus build —
+# the r7 A/B (BENCH/r7_gates_ab.json) measured the interpreted HOF chain
+# at ~2.3× the fused gate's wall time on a 250 MB corpus at local[32],
+# consistent with the r4 finding that Catalyst array HOFs run interpreted.
+# Survivor sets and cleaned text are pinned identical to the HOF path
+# (tests/test_round7.py) on ASCII + the adversarial-alphabet fixtures;
+# Java-vs-Python regex semantics are aligned by construction (explicit
+# ASCII \s class, space-only trims, str.isalpha == \p{L} on the letter
+# categories the gates see).
+# ---------------------------------------------------------------------------
+
+import re as _re
+from typing import Iterator
+
+import pandas as pd
+
+_PY_WS = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s is ASCII-only
+_PY_TERM = _re.compile(r'[.!?"]$')
+_PY_SYM = _re.compile(r"#|\.\.\.|…")
+_PY_ELL = _re.compile(r"(\.\.\.|…)$")
+_PY_PARA = _re.compile(r"\n{2,}")
+
+
+def _fused_gate_row(t: str, min_words_per_line: int, min_lines: int,
+                    with_repetition: bool) -> tuple[str, bool, bool]:
+    """(clean_text, c4_keep, gopher_keep) for one document — the exact
+    composition build_pretrain_corpus runs: C4 line keep → page gates →
+    Gopher quality + repetition rules over the C4-cleaned text."""
+    t = t or ""
+    if "{" in t or "lorem ipsum" in t.lower():
+        return "", False, False
+    kept = [
+        ln
+        for ln in t.split("\n")
+        if _PY_TERM.search(ln.rstrip(" "))
+        and sum(1 for w in _PY_WS.split(ln) if w) >= min_words_per_line
+    ]
+    if len(kept) < min_lines:
+        return "", False, False
+    clean = "\n".join(kept)
+    words = [w for w in _PY_WS.split(clean) if w]
+    wc = len(words)
+    wc1 = float(max(1, wc))
+    if not (GOPHER_MIN_WORDS <= wc <= GOPHER_MAX_WORDS):
+        return clean, True, False
+    mean_wl = sum(len(w) for w in words) / wc1
+    if not (GOPHER_MIN_MEAN_WORD_LEN <= mean_wl <= GOPHER_MAX_MEAN_WORD_LEN):
+        return clean, True, False
+    if len(_PY_SYM.findall(clean)) / wc1 > GOPHER_MAX_SYMBOL_RATIO:
+        return clean, True, False
+    lines = clean.split("\n")
+    nl1 = float(max(1, len(lines)))
+    if sum(ln.lstrip(" ").startswith(("-", "*", "•")) for ln in lines) / nl1 \
+            > GOPHER_MAX_BULLET_FRAC:
+        return clean, True, False
+    if sum(bool(_PY_ELL.search(ln.rstrip(" "))) for ln in lines) / nl1 \
+            > GOPHER_MAX_ELLIPSIS_FRAC:
+        return clean, True, False
+    if sum(any(c.isalpha() for c in w) for w in words) / wc1 \
+            < GOPHER_MIN_ALPHA_WORD_FRAC:
+        return clean, True, False
+    lowered = {w.lower() for w in words}
+    if sum(s in lowered for s in GOPHER_STOPWORDS) < GOPHER_MIN_STOPWORD_HITS:
+        return clean, True, False
+    if with_repetition:
+        nz_lines = [ln for ln in lines if ln]
+        paras = [p for p in _PY_PARA.split(clean) if p]
+        for units, fmax, cmax in (
+            (nz_lines, GOPHER_MAX_DUP_LINE_FRAC, GOPHER_MAX_DUP_LINE_CHAR_FRAC),
+            (paras, GOPHER_MAX_DUP_PARA_FRAC, GOPHER_MAX_DUP_PARA_CHAR_FRAC),
+        ):
+            distinct = set(units)
+            if (len(units) - len(distinct)) / max(1, len(units)) > fmax:
+                return clean, True, False
+            chars = sum(len(u) for u in units)
+            if (chars - sum(len(u) for u in distinct)) / max(1, chars) > cmax:
+                return clean, True, False
+    return clean, True, True
+
+
+def fused_gate_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
+    min_lines: int = C4_MIN_LINES,
+    with_repetition: bool = True,
+) -> DataFrame:
+    """Append ``clean_text`` (C4-surviving lines re-joined), ``c4_keep``
+    and ``gopher_keep`` via one Arrow-batched pass — a non-filtering
+    projection, so callers place their own observed filters per stage
+    (exact stage accounting survives the fusion).  Partition-preserving,
+    zero exchanges, one Python worker stage instead of the interpreted
+    HOF expression chain.
+
+    Implemented as a ``mapInPandas`` plan NODE rather than a pandas-UDF
+    column expression: predicate pushdown substitutes UDF-column filters
+    through projections, and over complex expression inputs Catalyst can
+    land the PythonUDF inside an interpreted Filter ([INTERNAL_ERROR]
+    Cannot evaluate expression) — a plan node cannot be collapsed into."""
+    from quality_filter.shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        + ", clean_text string, c4_keep boolean, gopher_keep boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _fused_gate_row(t, min_words_per_line, min_lines, with_repetition)
+                for t in pdf[text_col].tolist()
+            ]
+            g = pd.DataFrame(
+                rows, columns=["clean_text", "c4_keep", "gopher_keep"],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf, g], axis=1)
+
+    return df.mapInPandas(run, out_schema)

@@ -110,3 +110,102 @@ def test_corpus_with_counts_is_single_pass(spark):
         "input": 6, "after_c4": 5, "after_gopher": 4,
         "after_dedup": 2, "after_decontaminate": 1,
     }
+
+
+def _fused_vs_hof(spark, docs):
+    """Survivor sets of (id, cleaned text) through both gate impls."""
+    from quality_filter.textstats import (
+        c4_line_filter,
+        fused_gate_arrow,
+        gopher_filter,
+    )
+
+    c4 = c4_line_filter(docs)
+    hof = gopher_filter(
+        c4.withColumn("text", F.col("clean_text")).select("doc_id", "text")
+    )
+    fused = (
+        fused_gate_arrow(docs)
+        .filter(F.col("c4_keep") & F.col("gopher_keep"))
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    a = {(r["doc_id"], r["text"]) for r in hof.collect()}
+    b = {(r["doc_id"], r["text"]) for r in fused.collect()}
+    return a, b
+
+
+def test_fused_gate_parity_adversarial(spark):
+    """fused_gate_arrow == the HOF C4→Gopher composition on the same
+    adversarial alphabet as the r6 property pin (unicode letters,
+    bullets, ellipses, planted dup lines, paragraph breaks) plus edge
+    rows (None, empty, whitespace, lorem/brace pages, bullet pages that
+    survive C4)."""
+    import random
+
+    rng = random.Random(20260818)
+    vocab = ["the", "of", "and", "données", "中文", "naïve", "x9", "####",
+             "word", "…", "...", "-lead", "•dot", "mix#ed", "a", "be",
+             "to", "that", "have", "with"]
+    docs = []
+    for d in range(200):
+        lines = []
+        for _ in range(rng.randint(0, 14)):
+            ws = [rng.choice(vocab) for _ in range(rng.randint(0, 11))]
+            ln = " ".join(ws)
+            if rng.random() < 0.2:
+                ln = "- " + ln
+            if rng.random() < 0.6:
+                ln += rng.choice(["...", "…", ".", "!", '?"'])
+            lines.append(ln)
+        if lines and rng.random() < 0.4:
+            lines.append(rng.choice(lines))
+        txt = "\n".join(lines)
+        if rng.random() < 0.3:
+            txt = txt.replace("\n", "\n\n", 1)
+        docs.append((d, txt))
+    docs += [
+        (900, None), (901, ""), (902, "   \n  \n "),
+        (903, "\n".join(
+            f"line {i} has the be to of and that have with plenty words fine."
+            for i in range(8)
+        )),
+        (904, "Lorem IPSUM hides in the page of the and be that have words."),
+        (905, "json = { of the and be that have words here too. }"),
+        (906, "\n".join(["- the be of and that with have bullet line."] * 8)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a, b = _fused_vs_hof(spark, df)
+    assert a == b
+    assert 903 in {i for i, _ in a}  # sanity: something survives
+
+
+def test_fused_gate_parity_synth_corpus(spark):
+    from quality_filter.synth import synth_documents
+
+    docs = synth_documents(spark, 1500, seed=11).select("doc_id", "text")
+    a, b = _fused_vs_hof(spark, docs)
+    assert a == b and len(a) > 1000
+
+
+def test_corpus_build_gate_impls_agree(spark):
+    """build_pretrain_corpus produces identical survivors AND identical
+    per-stage accounting under gate_impl='arrow' (fused, production) and
+    gate_impl='hof' (oracle-shaped reference)."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_corpus import _benchmark, _corpus
+
+    from quality_filter.corpus import build_pretrain_corpus
+
+    outs = {}
+    for impl in ("arrow", "hof"):
+        kept, resolve = build_pretrain_corpus(
+            _corpus(spark), benchmark=_benchmark(spark),
+            jaccard_threshold=0.5, gate_impl=impl, with_counts=True,
+        )
+        rows = {(r["doc_id"], r["text"]) for r in kept.collect()}
+        counts = {r["stage"]: r["n_docs"] for r in resolve().collect()}
+        outs[impl] = (rows, counts)
+    assert outs["arrow"] == outs["hof"]
+    with pytest.raises(ValueError, match="gate_impl"):
+        build_pretrain_corpus(_corpus(spark), gate_impl="bogus")
