@@ -96,6 +96,38 @@ def run_headline(
     return dt, n_turns
 
 
+def ensure_documents(spark, n_docs: int) -> str:
+    """Materialize the deterministic synthetic pre-training document
+    corpus once (64 files, planted dup/soup/brace/boilerplate fractions)."""
+    path = str(CACHE_DIR / f"documents_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from quality_filter.synth import synth_documents
+
+        synth_documents(spark, n_docs, seed=42).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_corpus_build(spark, docs_path: str) -> tuple[float, int]:
+    """Composed pretrain-corpus build (fused Arrow C4+Gopher gates →
+    exact dedup → MinHash-LSH → connected components → canonical keep) →
+    parquet sink; the artifact-of-record row for the one-command corpus
+    path so regressions in the composition are mechanical to spot
+    (VERDICT r6 #8)."""
+    from quality_filter.corpus import build_pretrain_corpus
+
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+    sink_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_dir = tempfile.mkdtemp(prefix="qf_bench_corpus_", dir=sink_root)
+    t0 = time.time()
+    build_pretrain_corpus(docs).write.mode("overwrite").parquet(out_dir)
+    dt = time.time() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return dt, n_docs
+
+
 def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Per-query regression instrument: one warm-up run (JIT, Arrow worker
     spin-up, shuffle-file cache), then median of QUERY_REPS measured runs —
@@ -138,6 +170,17 @@ def main() -> None:
     qspread: dict[str, float] = {}
     if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
         qtimes, qspread = run_queries(spark, SF_DIR)
+    corpus: dict[str, float | int] = {}
+    if stage == "full" and os.environ.get("BENCH_SKIP_CORPUS", "0") != "1":
+        dpath = ensure_documents(spark, int(os.environ.get("BENCH_N_DOCS", "100000")))
+        run_corpus_build(spark, dpath)  # warm-up
+        cruns = [run_corpus_build(spark, dpath) for _ in range(2)]
+        corpus_s, n_docs = min(cruns)
+        corpus = {
+            "sec": round(corpus_s, 3),
+            "n_docs": n_docs,
+            "docs_per_sec": round(n_docs / corpus_s, 1),
+        }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "full clean-pipeline wall time (langid+ppl UDFs, rule scoring, filter-all, scrub, parquet sink)",
@@ -150,6 +193,8 @@ def main() -> None:
         "turns_per_sec": round(n_turns / headline_s, 1),
         "cpus": CPUS,
     }
+    if corpus:
+        out["corpus_build"] = corpus
     if stage != "full":
         out["stage"] = stage
     spark.stop()
