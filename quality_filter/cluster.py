@@ -246,15 +246,18 @@ def cluster_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
-def _word_ngrams(text_col, n: int):
-    """Array of n-word grams (space-joined); empty for docs under n words."""
-    w = F.split(text_col, " ")
-    cnt = F.size(w) - (n - 1)
+def _word_ngrams_from_words(words_col, n: int):
+    """Array of n-word grams (space-joined) from an already-split word
+    array; empty for docs under n words.  Takes the ARRAY column so call
+    sites can hoist the split into its own projection — an inline
+    ``split`` captured by the lambda is re-evaluated per gram
+    (O(words²) per doc, see dedup.word_shingles_from_words)."""
+    cnt = F.size(words_col) - (n - 1)
     return F.when(
         cnt >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
+            lambda i: F.array_join(F.slice(words_col, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -279,11 +282,15 @@ def decontaminate(
     training gram, no shuffle of the corpus.  ``F.broadcast`` is a hint:
     if a benchmark ever outgrows the broadcast ceiling Spark falls back
     to a shuffled hash join on the gram key, still sub-quadratic."""
-    bench_grams = benchmark.select(
-        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
-    ).distinct()
+    bench_grams = (
+        benchmark.select(F.split(F.col(text_col), " ").alias("_w"))
+        .select(F.explode(_word_ngrams_from_words(F.col("_w"), n)).alias("gram"))
+        .distinct()
+    )
     doc_grams = df.select(
-        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        F.col(id_col), F.explode(_word_ngrams_from_words(F.col("_w"), n)).alias("gram")
     )
     # join FIRST, dedup after: the broadcast probe filters the corpus gram
     # stream map-side, so the (doc, gram) distinct shuffles only the hit
@@ -315,6 +322,7 @@ def dedup_pipeline(
     algorithm: str = "propagation",
     verify_exact: bool = False,
     max_bucket_size: int | None = 1000,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The staged corpus-dedup composition a 100 TB run uses, in order:
 
@@ -351,7 +359,22 @@ def dedup_pipeline(
     )
 
     uniq = exact_dedup(df, id_col, text_col)
+    if checkpoint:
+        # uniq feeds the signature stage, the CC vertex set, AND the final
+        # keeper join; sig feeds both sides of the band join plus the two
+        # signature re-attach joins.  Without a materialization boundary
+        # every consumer re-executes the full upstream lineage — for a
+        # corpus build whose input is an Arrow gate stage that measured
+        # ~8 executions of the most expensive stage per build.  Lazy
+        # localCheckpoint (same mechanism as the CC loop below): blocks
+        # live MEMORY_AND_DISK on executors, are freed when the DataFrame
+        # is GC'd, and truncate lineage — the documented CC caveat
+        # applies (executor loss requires a job restart; acceptable for
+        # batch dedup, pass checkpoint=False to keep pure lineage).
+        uniq = uniq.localCheckpoint(eager=False)
     sig = minhash_signatures(uniq, id_col, text_col)
+    if checkpoint:
+        sig = sig.localCheckpoint(eager=False)
     cand = lsh_candidates(sig, id_col, max_bucket_size=max_bucket_size)
     pairs = minhash_jaccard(sig, cand, id_col).filter(
         F.col("est_jaccard") >= jaccard_threshold

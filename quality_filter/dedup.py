@@ -197,11 +197,22 @@ def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact dedup on normalized text: keep the row with the smallest id
-    per fingerprint group (deterministic keeper).  One shuffle."""
+    per fingerprint group (deterministic keeper).
+
+    ONE scan and ONE shuffle: ``min_by(struct(row), id)`` per fingerprint
+    (r7; the previous groupBy-ids + left-semi-join shape scanned the
+    upstream lineage twice and shuffled twice — measured 2× the upstream
+    cost when the input is an expensive Arrow-gate stage).  min_by is
+    map-side combinable, so k identical copies collapse to at most one
+    surviving row per mapper before the exchange — the same skew defusal
+    the join shape had."""
     fp = F.md5(F.encode(normalized_text(F.col(text_col)), "UTF-8"))
-    keyed = df.withColumn("_fp", fp)
-    keepers = keyed.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keepers, [ "_fp", id_col ], "left_semi").drop("_fp")
+    row = F.struct(*[F.col(c) for c in df.columns])
+    keeper = (
+        df.groupBy(fp.alias("_fp"))
+        .agg(F.min_by(row, F.col(id_col)).alias("_row"))
+    )
+    return keeper.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns])
 
 
 def conv_fingerprint_salted(
@@ -275,17 +286,31 @@ def conv_fingerprint_salted(
     )
 
 
-def word_shingles(text_col, k: int = 3):
-    """Array of k-word shingles.  Empty for docs with fewer than ``k``
-    words: ``sequence(1, 0)`` is DESCENDING in Spark (yields [1, 0] and the
-    0 start then crashes ``slice``), so the short-doc case must be guarded
-    explicitly — DuckDB's ``range(0, n)`` is already empty for n <= 0."""
-    w = F.split(text_col, " ")
-    n = F.size(w) - (k - 1)
+def word_shingles_from_words(words_col, k: int = 3):
+    """Array of k-word shingles from an already-split word-array column.
+    Empty for docs with fewer than ``k`` words: ``sequence(1, 0)`` is
+    DESCENDING in Spark (yields [1, 0] and the 0 start then crashes
+    ``slice``), so the short-doc case must be guarded explicitly —
+    DuckDB's ``range(0, n)`` is already empty for n <= 0.
+
+    Pass a bound ATTRIBUTE (an array column materialized by its own
+    projection under the consuming explode), not an inline ``split(...)``
+    expression: Catalyst re-evaluates a lambda's captured expressions on
+    every element, so an inline split rebuilds the whole word array once
+    per shingle — O(words²) work per document (hoisting the split
+    measured 3× on the corpus minhash stage at sf0.1)."""
+    n = F.size(words_col) - (k - 1)
     return F.when(n >= 1, F.transform(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.array_join(F.slice(w, i, k), " "),
+        lambda i: F.array_join(F.slice(words_col, i, k), " "),
     )).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text_col, k: int = 3):
+    """Array of k-word shingles of a text column — convenience wrapper;
+    hot paths should hoist the split into its own projection and use
+    ``word_shingles_from_words`` (see its docstring for why)."""
+    return word_shingles_from_words(F.split(text_col, " "), k)
 
 
 def minhash_signatures(
@@ -301,9 +326,13 @@ def minhash_signatures(
     the shuffle at one row per doc)."""
     # no .distinct() on the exploded shingles: min() is duplicate-
     # insensitive, and the distinct would be a second full shuffle of the
-    # widest intermediate in the job
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh")
+    # widest intermediate in the job.  The split is hoisted into its own
+    # projection so the shingle lambda reads a bound attribute (see
+    # word_shingles_from_words).
+    warr = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+    sh = warr.select(
+        F.col(id_col),
+        F.explode(word_shingles_from_words(F.col("_w"), shingle_k)).alias("sh"),
     )
     aggs = [
         F.min(F.xxhash64(F.lit(s), F.col("sh"))).alias(f"h{s}") for s in range(n_hashes)
@@ -380,9 +409,10 @@ def exact_jaccard_for_pairs(
     )
     sh = (
         df.join(ids, id_col, "left_semi")
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
         .select(
             F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+            F.explode(word_shingles_from_words(F.col("_w"), shingle_k)).alias("sh"),
         )
         .distinct()
     )
