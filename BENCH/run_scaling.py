@@ -36,6 +36,7 @@ def run_pinned(
         os.environ,
         SPARK_GRAFT_CPUS=str(cores),
         BENCH_SKIP_QUERIES="1",
+        BENCH_SKIP_CORPUS="1",
         BENCH_N_CONVS=str(n_convs),
         BENCH_REPS=str(reps),
         BENCH_STAGE=stage,
