@@ -209,3 +209,41 @@ def test_corpus_build_gate_impls_agree(spark):
     assert outs["arrow"] == outs["hof"]
     with pytest.raises(ValueError, match="gate_impl"):
         build_pretrain_corpus(_corpus(spark), gate_impl="bogus")
+
+
+def test_cap_per_key_semantics(spark):
+    """Per-domain cap keeps exactly the k best (by score desc, id asc
+    tiebreak) per key, including on a planted giant domain."""
+    from quality_filter.curation import cap_per_key
+
+    rows = [(i, "big", float(i % 7)) for i in range(500)]
+    rows += [(1000 + i, "small", float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = cap_per_key(df, "source", 5, order_col="score").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["source"], []).append((r["score"], r["doc_id"]))
+    assert len(by_key["big"]) == 5 and len(by_key["small"]) == 3
+    # the k best by (score desc, id asc): scores 6.0 with the 5 smallest ids
+    assert sorted(by_key["big"]) == [(6.0, 6), (6.0, 13), (6.0, 20), (6.0, 27), (6.0, 34)]
+    # keep-first mode: no order_col -> k smallest ids per key
+    first = cap_per_key(df, "source", 2).collect()
+    assert sorted(r["doc_id"] for r in first if r["source"] == "big") == [0, 1]
+    with pytest.raises(ValueError, match="k must be"):
+        cap_per_key(df, "source", 0)
+
+
+def test_cap_per_key_plan_has_partial_group_limit(spark):
+    """The rank-limit must plan as a map-side PARTIAL WindowGroupLimit
+    before the exchange — the property that makes a 10^9-row domain
+    ship tasks*k rows instead of landing in one sort task."""
+    from quality_filter.curation import cap_per_key
+
+    df = spark.range(0, 10000, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.rand(7).alias("score"),
+    )
+    plan = cap_per_key(df, "source", 10, order_col="score")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, plan[:2000]
