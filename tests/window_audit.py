@@ -172,3 +172,45 @@ def audit_tail_row(
         if f"{PKG}/{mod}.py" in changed_files:
             problems.append(f"imports changed module: {PKG}/{mod}.py")
     return problems
+
+
+def _suggest(base_commit: str, correctness_artifact: str) -> None:
+    """Print the tail-eligible rows for the NEXT rotation: previously
+    green in ``correctness_artifact`` AND provably untouched vs
+    ``base_commit``.  Usage:
+
+        python tests/window_audit.py 0e341f0 CORRECTNESS_r06.json
+    """
+    import json
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from quality_filter.entry_queries import QUERIES
+
+    green = [
+        name
+        for name, row in json.loads(
+            (REPO / correctness_artifact).read_text()
+        ).items()
+        if row.get("rows_match") and row.get("schema_match")
+        and row.get("hash_match") and row.get("err") is None
+    ]
+    changed = changed_package_files(base_commit)
+    audit = EntryQueriesAudit(base_commit)
+    eligible, touched = [], {}
+    for name in green:
+        probs = audit_tail_row(audit, QUERIES[name].__name__, changed)
+        (eligible.append(name) if not probs else touched.__setitem__(name, probs))
+    print(f"changed files vs {base_commit}: {sorted(changed)}")
+    print(f"\n{len(eligible)} tail-eligible rows:")
+    for n in eligible:
+        print(f"  {n!r},")
+    print(f"\n{len(touched)} touched rows (must stay in window):")
+    for n, probs in touched.items():
+        print(f"  {n}: {probs[0]}")
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _suggest(_sys.argv[1], _sys.argv[2])
