@@ -105,7 +105,47 @@ def main(argv: list[str] | None = None) -> None:
     p_corpus.add_argument("--verify-exact", action="store_true")
     p_corpus.add_argument("--cores", type=int, default=None)
 
+    p_qt = sub.add_parser(
+        "quality-train",
+        help="fit the learned quality classifier on a labeled document table",
+    )
+    p_qt.add_argument("--data-path", type=str, required=True)
+    p_qt.add_argument("--model-path", type=str, required=True)
+    p_qt.add_argument("--label-col", type=str, default="keep")
+    p_qt.add_argument("--cores", type=int, default=None)
+
+    p_qs = sub.add_parser(
+        "quality-score",
+        help="score documents with a saved quality classifier",
+    )
+    p_qs.add_argument("--data-path", type=str, required=True)
+    p_qs.add_argument("--model-path", type=str, required=True)
+    p_qs.add_argument("--save-path", type=str, required=True)
+    p_qs.add_argument("--cores", type=int, default=None)
+
     args = parser.parse_args(argv)
+    if args.cmd in ("quality-train", "quality-score"):
+        from pyspark.sql import SparkSession
+
+        from quality_filter import qmodel
+        from quality_filter.session import get_spark as _gs
+
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = _gs("quality_filter_cli", cores=args.cores)
+        docs = spark.read.parquet(args.data_path)
+        if args.cmd == "quality-train":
+            model = qmodel.train_quality_classifier(docs, args.label_col)
+            model.write().overwrite().save(args.model_path)
+            print(f"model: {args.model_path}")
+        else:
+            model = qmodel.load_quality_classifier(args.model_path)
+            qmodel.score_quality(model, docs).write.mode("overwrite").parquet(
+                args.save_path
+            )
+            print(f"scored: {args.save_path}")
+        if not preexisting:
+            spark.stop()
+        return
     if args.cmd == "corpus":
         # the generic dispatch below re-imports SparkSession locally, which
         # makes the name function-local — import it here too

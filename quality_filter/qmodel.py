@@ -1,0 +1,109 @@
+"""Trainable document-quality classifier (the learned counterpart of the
+heuristic ``textstats.doc_quality_score``): distributed logistic
+regression over the Gopher metric columns via ``pyspark.ml``, with
+parquet-backed model persistence.
+
+Large-scale pipelines (CCNet, DataTrove, Dolma) pair rule gates with a
+LEARNED quality model — train on a labeled subset (often gate verdicts
+or LLM judgments on a sample), then score the whole corpus cheaply.
+This module keeps that loop Spark-native end to end:
+
+- features are the already-scan-shaped Gopher metrics
+  (``with_gopher_flags`` + ``with_gopher_repetition``): one narrow
+  zero-exchange projection, no second tokenization pass;
+- training is MLlib L-BFGS logistic regression — map-side gradient
+  aggregation, model-sized driver state (one coefficient vector), no
+  corpus collect;
+- scoring is a pure-JVM transform (one BLAS dot per row inside
+  whole-stage-compatible MLlib code) — no Python workers in the path;
+- persistence uses the MLlib writer (parquet + JSON metadata, written
+  distributed), so a 100-TB scoring job loads the model from shared
+  storage exactly like the langid/perplexity artifacts.
+
+New module (not textstats) so the driver-window rotation audit keeps
+existing rows' import closures untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_COLS = [
+    "word_count", "mean_word_len", "symbol_ratio", "bullet_frac",
+    "ellipsis_frac", "alpha_word_frac", "stopword_hits",
+    "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+    "dup_para_char_frac",
+]
+
+
+def doc_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the FEATURE_COLS metric columns (doubles) — the Gopher
+    quality + repetition metrics in one scan-shaped pass."""
+    from quality_filter.textstats import (
+        with_gopher_flags,
+        with_gopher_repetition,
+    )
+
+    out = with_gopher_repetition(with_gopher_flags(df, text_col), text_col)
+    for c in FEATURE_COLS:
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+):
+    """Fit logistic regression P(label=1 | gopher metrics).
+
+    ``label_col`` is any 0/1 integer column — gate verdicts for a
+    distillation model, or human/LLM judgments on a labeled sample.
+    Returns a fitted ``PipelineModel`` (assembler + scaler + LR) whose
+    driver-side state is one coefficient vector; training never
+    collects rows.  Persist with ``model.write().overwrite().save(path)``
+    and reload with ``load_quality_classifier(path)``."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = doc_quality_features(df, text_col).withColumn(
+        "_label", F.col(label_col).cast("double")
+    )
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=FEATURE_COLS, outputCol="_raw_features"),
+        StandardScaler(
+            inputCol="_raw_features", outputCol="_features",
+            withMean=True, withStd=True,
+        ),
+        LogisticRegression(
+            featuresCol="_features", labelCol="_label",
+            maxIter=max_iter, regParam=reg_param,
+        ),
+    ])
+    return pipe.fit(feats)
+
+
+def load_quality_classifier(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
+def score_quality(
+    model, df: DataFrame, text_col: str = "text", out_col: str = "quality_prob"
+) -> DataFrame:
+    """Append ``out_col`` = P(label=1) for every document.  Pure-JVM
+    transform (feature projection + one dot product per row); the
+    original columns pass through unchanged."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(doc_quality_features(df, text_col))
+    keep = [c for c in df.columns]
+    return scored.select(
+        *keep,
+        vector_to_array(F.col("probability")).getItem(1).alias(out_col),
+    )
