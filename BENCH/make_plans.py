@@ -406,6 +406,69 @@ def main() -> None:
         ),
     ))
 
+    # ---- round-7 shapes -------------------------------------------------
+    from quality_filter.dedup import exact_dedup
+
+    exd = exact_dedup(df.select("doc_id", "text"))
+    exd.count()
+    sections.append((
+        "Exact dedup (single-scan min_by keeper, r7)",
+        "ONE scan and ONE shuffle: min_by(struct(row), id) per text "
+        "fingerprint — partial_min_by combines map-side, so k identical "
+        "copies collapse to one surviving candidate per mapper before "
+        "the exchange (the pre-r7 groupBy-ids + left-semi-join shape "
+        "scanned the upstream twice and shuffled twice).",
+        "\n".join(
+            l for l in plan_of(exd).splitlines()
+            if any(k in l for k in ("Aggregate", "Exchange", "Scan", "Project"))
+        ),
+    ))
+
+    from quality_filter.corpus import build_pretrain_corpus
+
+    built = build_pretrain_corpus(df.select("doc_id", "text"))
+    built.count()
+    sections.append((
+        "Composed corpus build (fused Arrow gates → staged dedup, r7)",
+        "The C4 line clean + both Gopher gate verdicts come from ONE "
+        "MapInPandas node (the interpreted HOF chain measured 5.4× its "
+        "wall time); uniq/sig materialize once behind localCheckpoint "
+        "scans, so the gate stage is executed once per build instead of "
+        "once per downstream consumer.  Every join downstream is a hash "
+        "join on an id or band key.",
+        "\n".join(
+            l for l in plan_of(built).splitlines()
+            if any(k in l for k in (
+                "MapInPandas", "Join", "Exchange", "Aggregate", "Checkpoint",
+                "Scan",
+            ))
+        ),
+    ))
+
+    from quality_filter.curation import cap_per_key
+
+    capped = cap_per_key(
+        df.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(5)).cast("string").alias("source"),
+            "text",
+        ),
+        "source", 10, order_col="doc_id",
+    )
+    capped.count()
+    sections.append((
+        "Per-domain cap (partial WindowGroupLimit, r7)",
+        "The rank-limit filter plans as WindowGroupLimit in PARTIAL mode "
+        "before the exchange and FINAL mode after — each mapper keeps "
+        "only its own top-k per key, so a 10^9-row domain ships "
+        "tasks × k rows through the shuffle, never 10^9 into one sort "
+        "task.",
+        "\n".join(
+            l for l in plan_of(capped).splitlines()
+            if any(k in l for k in ("WindowGroupLimit", "Window", "Exchange", "Sort"))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
