@@ -247,3 +247,44 @@ def test_cap_per_key_plan_has_partial_group_limit(spark):
     plan = cap_per_key(df, "source", 10, order_col="score")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan, plan[:2000]
+
+
+def test_fused_gate_composes_with_streaming(spark, tmp_path):
+    """fused_gate_arrow (mapInPandas) is a stateless projection, so it
+    composes with Structured Streaming unchanged; the streamed survivor
+    set must equal the batch survivor set on the same input."""
+    from quality_filter.synth import synth_documents
+    from quality_filter.textstats import fused_gate_arrow
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs = synth_documents(spark, 400, seed=23).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    gated = (
+        fused_gate_arrow(stream)
+        .filter(F.col("c4_keep") & F.col("gopher_keep"))
+        .select("doc_id", "clean_text")
+    )
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["clean_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["doc_id"], r["clean_text"])
+        for r in fused_gate_arrow(spark.read.parquet(inp))
+        .filter(F.col("c4_keep") & F.col("gopher_keep"))
+        .select("doc_id", "clean_text")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 250
