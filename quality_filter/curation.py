@@ -51,3 +51,164 @@ def cap_per_key(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the approximate, memory-bounded variant of
+# cluster.decontaminate for eval suites too large to broadcast as exact
+# gram tables.  An exact benchmark gram table costs ~tens of bytes per
+# gram on every executor; the Bloom bitset costs `bits_per_gram` BITS per
+# gram (16 bits → fpp ≈ 5e-4) and the whole operator stays JVM-side:
+#
+#   build — gram → xxhash64 (a, b) → k Kirsch-Mitzenmacher bit positions
+#           → (word_idx = pos >> 6, mask = 1 << (pos & 63)) → one
+#           map-side-combinable groupBy(word_idx).agg(bit_or(mask)).
+#           bit_or is idempotent, so duplicate grams need NO distinct
+#           pass; the filter materializes as an (m/64)-row DataFrame.
+#   probe — corpus gram positions (same JVM hash construction, so build
+#           and probe can never drift) BROADCAST-hash-join the bitset on
+#           word_idx; a gram is flagged iff all k probed bits are set.
+#           No Python workers, no shuffle of the corpus gram stream
+#           before the per-doc aggregate (same shape as the exact path).
+#
+# Guarantee: NO false negatives (every truly contaminated doc is
+# flagged — Bloom filters only err toward flagging more), which is the
+# conservative direction for decontamination.  fpp ≈ (1 - e^(-k/b))^k
+# for b = bits_per_gram, minimized at k = b·ln2.
+# ---------------------------------------------------------------------------
+
+import math
+
+_BLOOM_SEED_A = 0x9E3779B1
+_BLOOM_SEED_B = 0x85EBCA77
+
+
+def _gram_positions(df, text_col: str, n: int, m_bits: int, k: int, *keep):
+    """Explode documents into (``*keep``, a, b, pos): one row per n-gram
+    per probe position, all hashing in Catalyst."""
+    from quality_filter.cluster import _word_ngrams_from_words
+
+    grams = df.select(
+        *keep, F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        *keep, F.explode(_word_ngrams_from_words(F.col("_w"), n)).alias("_g")
+    )
+    hashed = grams.select(
+        *keep,
+        F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_A)).alias("a"),
+        F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_B)).alias("b"),
+    )
+    # s = pmod(a,m) + i*pmod(b,m) <= (k+1)*m — no int64 overflow for any
+    # realistic m (the inline pmod keeps the Kirsch-Mitzenmacher sum small)
+    am = F.pmod(F.col("a"), F.lit(m_bits))
+    bm = F.pmod(F.col("b"), F.lit(m_bits))
+    pos = F.array(*[
+        F.pmod(am + F.lit(i) * bm, F.lit(m_bits)) for i in range(k)
+    ])
+    return hashed.select(*keep, "a", "b", F.explode(pos).alias("pos"))
+
+
+def build_decontamination_filter(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    bits_per_gram: int = 24,
+    expected_grams: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Build the Bloom bitset over the benchmark's n-grams.
+
+    Returns ``(bits_df, meta)``: ``bits_df`` has one (``w``, ``mask``)
+    row per SET 64-bit word of the filter (m/64 rows at most), ``meta``
+    carries ``{m, k, n}`` for the probe side.  ``expected_grams=None``
+    counts the gram stream first (one cheap aggregate over the
+    eval-suite-sized benchmark).
+
+    Size ``bits_per_gram`` by DOCUMENT-level false-positive tolerance,
+    not gram-level: a doc probing g grams is over-flagged with
+    probability ≈ g·fpp, so at fpp(16 bits) ≈ 4.4e-4 a 150-gram page
+    already carries ~6% FP odds, while the default 24 bits
+    (fpp ≈ 1e-5) keeps it ~0.1% — and 3 bytes/gram is still >16×
+    smaller than broadcasting the exact gram table."""
+    from quality_filter.cluster import _word_ngrams_from_words
+
+    if expected_grams is None:
+        expected_grams = (
+            benchmark.select(F.split(F.col(text_col), " ").alias("_w"))
+            .select(F.explode(_word_ngrams_from_words(F.col("_w"), n)).alias("_g"))
+            .distinct()
+            .count()
+        )
+    m_bits = max(1024, ((expected_grams * bits_per_gram + 63) // 64) * 64)
+    k = max(1, round(bits_per_gram * math.log(2)))
+    pos = _gram_positions(benchmark, text_col, n, m_bits, k)
+    bits = (
+        pos.select(
+            F.shiftrightunsigned(F.col("pos"), 6).alias("w"),
+            # python F.shiftleft only takes a literal shift — SQL takes a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("_m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("_m").alias("mask"))
+    )
+    return bits, {"m": m_bits, "k": k, "n": n}
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    bits: DataFrame,
+    meta: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any n-gram with the filtered
+    benchmark: (``id_col``, n_overlap, contaminated) — the same output
+    contract as ``cluster.decontaminate``, where n_overlap counts
+    distinct (by hash pair) flagged grams.  Superset guarantee: every
+    doc the exact operator flags is flagged here."""
+    pos = _gram_positions(
+        df, text_col, meta["n"], meta["m"], meta["k"], F.col(id_col)
+    )
+    probed = pos.join(
+        F.broadcast(bits), F.shiftrightunsigned(pos["pos"], 6) == bits["w"], "left"
+    )
+    hit = F.when(
+        F.col("mask").isNotNull(),
+        F.expr(
+            "pmod(shiftrightunsigned(mask, CAST(pmod(pos, 64) AS INT)), 2)"
+        ) == 1,
+    ).otherwise(F.lit(False))
+    per_gram = (
+        probed.select(F.col(id_col), "a", "b", hit.alias("_hit"))
+        .groupBy(id_col, "a", "b")
+        .agg(F.min("_hit").alias("_present"))  # all k probed bits set
+    )
+    hits = (
+        per_gram.filter(F.col("_present"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def write_decontamination_filter(bits: DataFrame, meta: dict, path: str) -> None:
+    """Persist the filter fully distributed: bits as parquet, meta as a
+    one-row parquet table (mirrors the perplexity LM artifact layout)."""
+    bits.write.mode("overwrite").parquet(f"{path}/bits")
+    spark = bits.sparkSession
+    spark.createDataFrame(
+        [(int(meta["m"]), int(meta["k"]), int(meta["n"]))], "m long, k int, n int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_decontamination_filter(spark, path: str) -> tuple[DataFrame, dict]:
+    bits = spark.read.parquet(f"{path}/bits")
+    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    return bits, {"m": row["m"], "k": row["k"], "n": row["n"]}

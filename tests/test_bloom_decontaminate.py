@@ -1,0 +1,88 @@
+"""Bloom-filter decontamination (quality_filter.curation): superset
+guarantee vs the exact operator, bounded false positives, persistence
+round-trip, broadcast-probe plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _world(spark):
+    """Training docs where ids 0-9 each embed one benchmark 8-gram and
+    the rest are clean; a 3-doc benchmark."""
+    bench_rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten eleven"),
+        (2, "red orange yellow green blue indigo violet ultra infra deep"),
+    ]
+    docs = []
+    for i in range(60):
+        filler = " ".join(f"w{i}x{j}" for j in range(30))
+        if i < 10:
+            planted = bench_rows[i % 3][1]
+            docs.append((i, f"{filler} {planted} {filler}"))
+        else:
+            docs.append((i, filler))
+    return (
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        spark.createDataFrame(bench_rows, "doc_id long, text string"),
+    )
+
+
+def test_bloom_superset_of_exact_and_bounded_fp(spark):
+    from quality_filter.cluster import decontaminate
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        decontaminate_bloom,
+    )
+
+    docs, bench = _world(spark)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench).filter("contaminated").collect()
+    }
+    assert exact == set(range(10))  # the planted world behaves
+
+    bits, meta = build_decontamination_filter(bench)
+    bloom_rows = decontaminate_bloom(docs, bits, meta).collect()
+    bloom = {r["doc_id"] for r in bloom_rows if r["contaminated"]}
+    assert bloom >= exact  # NO false negatives, ever
+    assert len(bloom - exact) <= 2  # deterministic small FP margin
+    # every doc gets a row, n_overlap >= 1 exactly for flagged docs
+    assert len(bloom_rows) == 60
+    assert all((r["n_overlap"] > 0) == r["contaminated"] for r in bloom_rows)
+
+
+def test_bloom_filter_roundtrip(spark, tmp_path):
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        decontaminate_bloom,
+        read_decontamination_filter,
+        write_decontamination_filter,
+    )
+
+    docs, bench = _world(spark)
+    bits, meta = build_decontamination_filter(bench)
+    path = str(tmp_path / "bloomflt")
+    write_decontamination_filter(bits, meta, path)
+    bits2, meta2 = read_decontamination_filter(spark, path)
+    assert meta2 == meta
+    a = sorted(map(tuple, decontaminate_bloom(docs, bits, meta).collect()))
+    b = sorted(map(tuple, decontaminate_bloom(docs, bits2, meta2).collect()))
+    assert a == b
+
+
+def test_bloom_probe_plan_is_broadcast_jvm_only(spark):
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        decontaminate_bloom,
+    )
+
+    docs, bench = _world(spark)
+    bits, meta = build_decontamination_filter(bench)
+    plan = (
+        decontaminate_bloom(docs, bits, meta)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # all-JVM operator: no Python evaluation nodes anywhere
+    assert "Python" not in plan and "MapInPandas" not in plan
