@@ -61,6 +61,7 @@ def build_pretrain_corpus(
     paragraph_dedup: bool = False,
     paragraph_key: str = "hash",
     decontaminate_n: int = 8,
+    decontaminate_impl: str = "exact",
     with_counts: bool = False,
 ):
     """Compose C4 cleaning → Gopher gates → staged dedup →
@@ -142,7 +143,28 @@ def build_pretrain_corpus(
         )
         cur = _observed(cur, "after_paragraph_dedup")
     if benchmark is not None:
-        flags = decontaminate(cur, benchmark, id_col, text_col, n=decontaminate_n)
+        if decontaminate_impl == "bloom":
+            # memory-bounded variant: 3 bytes/gram broadcast bitset, no
+            # false negatives, ~0.1% doc-level over-flagging at the
+            # default sizing (see curation.build_decontamination_filter)
+            from quality_filter.curation import (
+                build_decontamination_filter,
+                decontaminate_bloom,
+            )
+
+            bits, meta = build_decontamination_filter(
+                benchmark, text_col, n=decontaminate_n
+            )
+            flags = decontaminate_bloom(cur, bits, meta, id_col, text_col)
+        elif decontaminate_impl == "exact":
+            flags = decontaminate(
+                cur, benchmark, id_col, text_col, n=decontaminate_n
+            )
+        else:
+            raise ValueError(
+                f"decontaminate_impl must be 'exact' or 'bloom', "
+                f"got {decontaminate_impl!r}"
+            )
         cur = cur.join(
             flags.filter(~F.col("contaminated")).select(id_col), id_col, "semi"
         )

@@ -86,3 +86,29 @@ def test_bloom_probe_plan_is_broadcast_jvm_only(spark):
     assert "BroadcastHashJoin" in plan
     # all-JVM operator: no Python evaluation nodes anywhere
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_corpus_build_bloom_decontaminate_agrees(spark):
+    """build_pretrain_corpus(decontaminate_impl='bloom') removes at
+    least the exact impl's removals (superset flags → subset survivors)
+    and agrees exactly at the default sizing on the planted world."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_corpus import _benchmark, _corpus
+
+    from quality_filter.corpus import build_pretrain_corpus
+
+    outs = {}
+    for impl in ("exact", "bloom"):
+        kept = build_pretrain_corpus(
+            _corpus(spark), benchmark=_benchmark(spark),
+            jaccard_threshold=0.5, decontaminate_impl=impl,
+        )
+        outs[impl] = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert outs["bloom"] <= outs["exact"]
+    assert outs["bloom"] == outs["exact"]  # tiny world: no FPs at 24 bits
+    with pytest.raises(ValueError, match="decontaminate_impl"):
+        build_pretrain_corpus(
+            _corpus(spark), benchmark=_benchmark(spark),
+            decontaminate_impl="bogus",
+        )
