@@ -212,11 +212,15 @@ def main() -> None:
         "langid_impl": os.environ.get("BENCH_LANGID_IMPL", "udf"),
         "headline_runs": [round(s, 3) for s, _ in results],
     }
-    artifact = Path(__file__).resolve().parent / "BENCH" / "last_run_full.json"
-    try:
-        artifact.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
-    except OSError:
-        pass  # read-only checkout must not break the driver contract
+    # Headline-only invocations (the scaling harness's pinned legs, probe
+    # runs) must not clobber the full-registry artifact of record — only a
+    # run that actually measured the per-query table writes it.
+    if os.environ.get("BENCH_SKIP_QUERIES", "0") != "1":
+        artifact = Path(__file__).resolve().parent / "BENCH" / "last_run_full.json"
+        try:
+            artifact.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+        except OSError:
+            pass  # read-only checkout must not break the driver contract
     print(json.dumps(out))
 
 
