@@ -84,7 +84,37 @@ def train_quality_classifier(
             maxIter=max_iter, regParam=reg_param,
         ),
     ])
-    return pipe.fit(feats)
+    model = pipe.fit(feats)
+    _strip_training_summary(model)
+    return model
+
+
+def _strip_training_summary(model) -> None:
+    """Drop the fitted LR stage's training summary before the model is
+    ever used for scoring.
+
+    Spark's ``ProbabilisticClassificationModel.transform`` lambda
+    captures the WHOLE model object into the prediction task closure,
+    and ``LogisticRegressionModel.trainingSummary`` is a non-transient
+    field holding the summary → the SparkSession → the session's
+    ``ObservationManager``, which is not java-serializable.  The result:
+    scoring works until anything in the session has used
+    ``DataFrame.observe`` (materializing the manager), then every
+    ``transform`` action dies with ``Task not serializable``.  Loading
+    a persisted model never restores summaries, so stripping in-memory
+    matches the persistence semantics exactly (pinned by the round-trip
+    test)."""
+    from pyspark import SparkContext
+
+    jvm = SparkContext._active_spark_context._jvm
+    for stage in getattr(model, "stages", [model]):
+        jo = getattr(stage, "_java_obj", None)
+        if jo is None:
+            continue
+        try:
+            jo.setSummary(jvm.scala.Option.empty())
+        except Exception:
+            pass  # stages without a summary (assembler, scaler)
 
 
 def load_quality_classifier(path: str):

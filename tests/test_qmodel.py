@@ -78,3 +78,25 @@ def test_feature_columns_complete(spark):
     assert set(FEATURE_COLS) <= set(out.columns)
     row = out.collect()[0]
     assert all(row[c] is not None for c in FEATURE_COLS)
+
+
+def test_model_survives_observe_poisoned_session(spark):
+    """Regression: scoring must work in a session where DataFrame.observe
+    has materialized the (non-serializable) ObservationManager — Spark's
+    prediction lambda serializes the whole LR model, and an un-stripped
+    training summary drags the session into the task closure.  The
+    corpus tests' observe-based stage accounting made every subsequent
+    qmodel transform die with 'Task not serializable' until
+    train_quality_classifier stripped the summary."""
+    from pyspark.sql import Observation
+
+    from quality_filter.qmodel import score_quality, train_quality_classifier
+
+    world = _labeled_world(spark, n=800, seed=3)
+    obs = Observation("qmodel_regression_probe")
+    world.observe(obs, F.count(F.lit(1)).alias("n")).count()
+    assert obs.get["n"] == 800  # manager is now materialized
+
+    model = train_quality_classifier(world, "keep", max_iter=10)
+    assert not model.stages[-1].hasSummary  # summary stripped at train time
+    assert score_quality(model, world).count() == 800
