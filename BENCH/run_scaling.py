@@ -64,6 +64,16 @@ def main() -> None:
         pairs = [(n, 4 * n)]
     n_convs = int(os.environ.get("BENCH_N_CONVS", "480000"))
     cores_needed = sorted({c for p_ in pairs for c in p_})
+
+    # Host-capacity stamp (VERDICT r7 #1): bracket the measurement with
+    # the engine-free ALU/bandwidth probes so every efficiency number in
+    # this artifact carries the host state measured the same hour.
+    sys.path.insert(0, str(REPO / "BENCH"))
+    from host_probe import probe as host_probe
+
+    probe_before = host_probe()
+    print(f"host probe (before): {json.dumps(probe_before)}", flush=True)
+
     results = {}
     for c in cores_needed:
         # more reps at higher parallelism: those runs show larger
@@ -116,6 +126,9 @@ def main() -> None:
             f"udf probe batch={batch}: {probe[batch]['turns_per_sec']:,.0f} turns/s",
             flush=True,
         )
+
+    probe_after = host_probe()
+    print(f"host probe (after): {json.dumps(probe_after)}", flush=True)
 
     rows = "\n".join(
         f"| local[{c}] (pinned 0-{c - 1}) | {c} | {results[c]['value']} | "
@@ -177,6 +190,22 @@ regime, so the full job can and does scale above the old ceiling; the
 the honest analog of adding executor *machines* (a real 4N-executor
 cluster brings 4N× of every resource, memory bandwidth included).
 
+## Host-capacity stamp (same-hour, engine-free probes)
+
+`BENCH/host_probe.py` bracketing this run — ALU = pure-Python LCG
+per pinned core (zero memory traffic; per-core slowdown at 32-way vs
+8-way isolates frequency/scheduler contraction, healthy ≈ 1.0-1.1);
+BW = the committed burn-test unit (64 MB gather+reduce), whose 8→32
+ratio is this host's bandwidth-bound efficiency ceiling (quiet-day
+reference ≈ 0.70-0.73, BENCH/burn_test.json).
+
+| probe | loadavg | ALU 32-way/8-way per-core | BW 8→32 ceiling |
+|---|---|---|---|
+| before | {probe_before['loadavg_1m']} | {probe_before['alu_ratio_32_vs_8']} | {probe_before['bw_eff_ceiling_8_32']} |
+| after | {probe_after['loadavg_1m']} | {probe_after['alu_ratio_32_vs_8']} | {probe_after['bw_eff_ceiling_8_32']} |
+
+Full probe dicts are in `BENCH/scaling_latest.json`.
+
 ## Per-stage decomposition of the {lo} → {hi} pair
 
 Which fraction of the 8→32 shortfall is host saturation vs
@@ -215,7 +244,7 @@ stable (conv_id, turn_idx) ordering; see tests/test_pipeline.py,
 tests/test_salvage.py, tests/test_entry_contract.py.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
-    print(json.dumps({
+    summary = {
         "configs": {str(c): results[c]["turns_per_sec"] for c in cores_needed},
         "efficiency": {
             f"{plo}->{phi}": round(e, 3) for (plo, phi), e in effs.items()
@@ -224,7 +253,13 @@ tests/test_salvage.py, tests/test_entry_contract.py.
         "udf_batch_probe": {
             b: probe[b]["turns_per_sec"] for b in probe
         },
-    }))
+        "host_probe_before": probe_before,
+        "host_probe_after": probe_after,
+    }
+    (REPO / "BENCH" / "scaling_latest.json").write_text(
+        json.dumps(summary, indent=2)
+    )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
