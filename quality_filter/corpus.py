@@ -91,9 +91,10 @@ def build_pretrain_corpus(
     cur = _observed(docs, "input")
     if gate_impl == "arrow" and c4 and gopher:
         # 100-TB hot path: one fused Arrow pass computes the C4 clean +
-        # both gate verdicts (the interpreted HOF chain measured ~2.3×
-        # its wall time — BENCH/r7_gates_ab.json); the verdicts come
-        # back as columns, so per-stage accounting stays exact.
+        # both gate verdicts (the interpreted HOF chain measured 5.4×
+        # its wall time at identical survivors — BENCH/r7_gates_ab.json);
+        # the verdicts come back as columns, so per-stage accounting
+        # stays exact.
         from quality_filter.textstats import fused_gate_arrow
 
         g = fused_gate_arrow(cur, text_col, with_repetition=gopher_repetition)
@@ -175,11 +176,30 @@ def build_pretrain_corpus(
 
     spark = docs.sparkSession
 
-    def resolve_counts() -> DataFrame:
+    def resolve_counts(timeout: float = 30.0) -> DataFrame:
         """Stage survivor counts, harvested from the observations the
         caller's action already computed — call AFTER materializing the
-        returned rows (``Observation.get`` blocks until its node has
-        executed once)."""
+        returned rows.  Misuse (no action has run) raises after
+        ``timeout`` seconds instead of deadlocking on ``Observation.get``
+        (ADVICE r7 #3): readiness is polled via the JVM observation's
+        non-blocking ``getRowOrEmpty``, so the normal case costs one
+        Py4J round-trip per stage."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        for stage, obs in observations:
+            while True:
+                jo = getattr(obs, "_jo", None)
+                if jo is not None and jo.getRowOrEmpty().isDefined():
+                    break
+                if time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        f"corpus stage observation {stage!r} has no metrics "
+                        f"after {timeout:g}s: resolve_counts() must be called "
+                        "AFTER materializing the returned DataFrame (run the "
+                        "output write/count first)"
+                    )
+                time.sleep(0.05)
         rows = [(stage, int(obs.get["n_docs"])) for stage, obs in observations]
         return spark.createDataFrame(rows, "stage string, n_docs long")
 

@@ -36,19 +36,55 @@ FEATURE_COLS = [
     "dup_para_char_frac",
 ]
 
+# Internal namespace for the computed feature columns.  A scored table
+# that already carries gate metrics (re-scoring an audited corpus is a
+# primary use case) must keep its original values: the features are
+# therefore computed under ``_qf_``-prefixed names and every input
+# column passes through untouched (ADVICE r7 #1 — the unprefixed
+# version silently overwrote colliding inputs).
+_PFX = "_qf_"
+_GATE_FLAG_COLS = ["gopher_keep", "repetition_keep"]
+
+
+def feature_cols() -> list[str]:
+    """The internal (prefixed) feature column names, in assembler order."""
+    return [_PFX + c for c in FEATURE_COLS]
+
 
 def doc_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the FEATURE_COLS metric columns (doubles) — the Gopher
-    quality + repetition metrics in one scan-shaped pass."""
+    """Append the ``_qf_``-prefixed Gopher quality + repetition metric
+    columns (doubles) in one scan-shaped pass.  Input columns — including
+    any that share a metric's public name, e.g. ``word_count`` on an
+    already-audited table — pass through byte-identical."""
     from quality_filter.textstats import (
         with_gopher_flags,
         with_gopher_repetition,
     )
 
-    out = with_gopher_repetition(with_gopher_flags(df, text_col), text_col)
+    reserved = [c for c in df.columns if c.startswith(_PFX)]
+    if reserved:
+        raise ValueError(
+            f"input columns collide with the {_PFX}* feature namespace: "
+            f"{reserved}"
+        )
+    # Shelve colliding inputs so the metric computation cannot clobber
+    # them, compute, move the metrics into the prefixed namespace, then
+    # restore the originals (withColumnRenamed keeps column positions).
+    shelved = {
+        c: f"{_PFX}shelf_{c}"
+        for c in FEATURE_COLS + _GATE_FLAG_COLS
+        if c in df.columns and c != text_col
+    }
+    work = df
+    for c, tmp in shelved.items():
+        work = work.withColumnRenamed(c, tmp)
+    work = with_gopher_repetition(with_gopher_flags(work, text_col), text_col)
     for c in FEATURE_COLS:
-        out = out.withColumn(c, F.col(c).cast("double"))
-    return out
+        work = work.withColumn(_PFX + c, F.col(c).cast("double")).drop(c)
+    work = work.drop(*_GATE_FLAG_COLS)
+    for c, tmp in shelved.items():
+        work = work.withColumnRenamed(tmp, c)
+    return work
 
 
 def train_quality_classifier(
@@ -74,7 +110,7 @@ def train_quality_classifier(
         "_label", F.col(label_col).cast("double")
     )
     pipe = Pipeline(stages=[
-        VectorAssembler(inputCols=FEATURE_COLS, outputCol="_raw_features"),
+        VectorAssembler(inputCols=feature_cols(), outputCol="_raw_features"),
         StandardScaler(
             inputCol="_raw_features", outputCol="_features",
             withMean=True, withStd=True,
@@ -115,6 +151,19 @@ def _strip_training_summary(model) -> None:
             jo.setSummary(jvm.scala.Option.empty())
         except Exception:
             pass  # stages without a summary (assembler, scaler)
+    # ADVICE r7 #4: the blanket except above must not be allowed to
+    # swallow a failure on the one stage this function exists to fix —
+    # if the package-private setSummary call ever breaks (Spark version
+    # drift, connect mode without _java_obj), fail loudly at training
+    # time instead of reintroducing the Task-not-serializable hazard at
+    # scoring time in observe-using sessions.
+    for stage in getattr(model, "stages", [model]):
+        if getattr(stage, "hasSummary", False):
+            raise RuntimeError(
+                f"failed to strip the training summary from {stage}: "
+                "scoring would capture the SparkSession's "
+                "ObservationManager into task closures (see docstring)"
+            )
 
 
 def load_quality_classifier(path: str):

@@ -226,3 +226,18 @@ def test_lm_write_read_roundtrip(spark, tmpdir):
     got3, got2 = read_model(spark, path)
     ref3, ref2 = train_artifact(corpus)
     assert np.array_equal(got3, ref3) and np.array_equal(got2, ref2)
+
+
+def test_resolve_counts_misuse_raises_not_deadlocks(spark):
+    """ADVICE r7 #3 regression: calling resolve_counts() BEFORE any action
+    has materialized the returned rows must raise (bounded wait), not
+    block forever on Observation.get."""
+    import pytest
+
+    from quality_filter.corpus import build_pretrain_corpus
+
+    _, resolve_counts = build_pretrain_corpus(
+        _corpus(spark), with_counts=True
+    )
+    with pytest.raises(RuntimeError, match="resolve_counts"):
+        resolve_counts(timeout=2.0)

@@ -68,16 +68,48 @@ def test_model_persistence_roundtrip(spark, tmp_path):
 
 
 def test_feature_columns_complete(spark):
-    from quality_filter.qmodel import FEATURE_COLS, doc_quality_features
+    from quality_filter.qmodel import doc_quality_features, feature_cols
 
     df = spark.createDataFrame(
         [(0, "the be to of and that have with words here fine.\n" * 6)],
         "doc_id long, text string",
     )
     out = doc_quality_features(df)
-    assert set(FEATURE_COLS) <= set(out.columns)
+    assert set(feature_cols()) <= set(out.columns)
     row = out.collect()[0]
-    assert all(row[c] is not None for c in FEATURE_COLS)
+    assert all(row[c] is not None for c in feature_cols())
+
+
+def test_features_never_overwrite_input_metrics(spark):
+    """ADVICE r7 #1 regression: re-scoring a table that already carries
+    gate metrics (word_count, dup_line_frac, ...) must keep the original
+    values — the computed features live in the _qf_ namespace."""
+    import pytest
+
+    from quality_filter.qmodel import (
+        doc_quality_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    world = _labeled_world(spark, n=600, seed=9)
+    audited = world.withColumn("word_count", F.lit(-777)).withColumn(
+        "dup_line_frac", F.lit(-1.5)
+    )
+    feats = doc_quality_features(audited)
+    got = feats.select("word_count", "dup_line_frac", "_qf_word_count").head()
+    assert got["word_count"] == -777  # original audit value intact
+    assert got["dup_line_frac"] == -1.5
+    assert got["_qf_word_count"] >= 0  # recomputed metric lives prefixed
+
+    model = train_quality_classifier(world, "keep", max_iter=10)
+    scored = score_quality(model, audited)
+    assert set(scored.columns) == set(audited.columns) | {"quality_prob"}
+    kept = scored.select("word_count").distinct().collect()
+    assert [r["word_count"] for r in kept] == [-777]
+
+    with pytest.raises(ValueError, match="_qf_"):
+        doc_quality_features(world.withColumn("_qf_bogus", F.lit(1)))
 
 
 def test_model_survives_observe_poisoned_session(spark):
@@ -100,3 +132,33 @@ def test_model_survives_observe_poisoned_session(spark):
     model = train_quality_classifier(world, "keep", max_iter=10)
     assert not model.stages[-1].hasSummary  # summary stripped at train time
     assert score_quality(model, world).count() == 800
+
+
+def test_eval_report_for_trained_classifier(spark):
+    """VERDICT r7 #7: quality numbers for the learned model, not just
+    round-trip mechanics — the trained classifier's holdout predictions
+    fed through the library's own eval operators (evalreport.eval_report
+    / cohen_kappa), with pinned floors."""
+    from quality_filter.evalreport import cohen_kappa, eval_report
+    from quality_filter.qmodel import score_quality, train_quality_classifier
+
+    world = _labeled_world(spark, n=3000, seed=17)
+    train = world.filter(F.col("doc_id") % 5 != 0)
+    holdout = world.filter(F.col("doc_id") % 5 == 0)
+
+    model = train_quality_classifier(train, "keep")
+    preds = score_quality(model, holdout).select(
+        F.col("keep").cast("string").alias("label"),
+        (F.col("quality_prob") >= 0.5).cast("int").cast("string").alias(
+            "prediction"
+        ),
+    )
+    rep = {r["class"]: r for r in eval_report(preds).collect()}
+    assert set(rep) == {"0", "1"}
+    total = sum(r["support"] for r in rep.values())
+    correct = sum(r["tp"] for r in rep.values())
+    accuracy = correct / total
+    assert accuracy > 0.85, f"holdout accuracy {accuracy:.3f}"
+    assert rep["1"]["f1"] > 0.85, f"keep-class F1 {rep['1']['f1']:.3f}"
+    kappa = cohen_kappa(preds).collect()[0]["kappa"]
+    assert kappa > 0.5, f"chance-corrected agreement too low: {kappa:.3f}"

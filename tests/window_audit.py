@@ -35,7 +35,30 @@ REPO = Path(__file__).resolve().parent.parent
 PKG = "quality_filter"
 
 
+class BaseCommitUnavailable(RuntimeError):
+    """The audit base commit is absent from local git history (shallow or
+    truncated checkout) — tail enforcement cannot run here.  Callers
+    should surface this distinctly (the pytest suite skips with the
+    message) rather than erroring as if the tail claim failed.
+    ADVICE r7 #5: base commits are full 40-char hashes so a short prefix
+    can never go ambiguous as history grows."""
+
+
+def require_commit(commit: str) -> None:
+    """Raise BaseCommitUnavailable unless ``commit`` resolves locally."""
+    probe = subprocess.run(
+        ["git", "cat-file", "-e", f"{commit}^{{commit}}"],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    if probe.returncode != 0:
+        raise BaseCommitUnavailable(
+            f"audit base commit {commit} is not in local history "
+            f"(shallow/truncated checkout?): {probe.stderr.strip()}"
+        )
+
+
 def git_show(commit: str, relpath: str) -> str:
+    require_commit(commit)
     return subprocess.run(
         ["git", "show", f"{commit}:{relpath}"],
         cwd=REPO, capture_output=True, text=True, check=True,
@@ -45,6 +68,7 @@ def git_show(commit: str, relpath: str) -> str:
 def changed_package_files(base_commit: str) -> set[str]:
     """``quality_filter/*.py`` paths whose worktree content differs from
     ``base_commit`` (committed, staged, and unstaged edits alike)."""
+    require_commit(base_commit)
     out = subprocess.run(
         ["git", "diff", "--name-only", base_commit, "--", f"{PKG}/"],
         cwd=REPO, capture_output=True, text=True, check=True,
