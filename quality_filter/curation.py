@@ -83,9 +83,50 @@ _BLOOM_SEED_A = 0x9E3779B1
 _BLOOM_SEED_B = 0x85EBCA77
 
 
+def _is_prime(n: int) -> bool:
+    """Deterministic Miller-Rabin for 64-bit n (the standard witness set
+    {2,3,5,7,11,13,17,19,23,29,31,37} is exact below 3.3e24)."""
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, r = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        r += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(r - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _next_prime(n: int) -> int:
+    n += (n + 1) % 2  # next odd >= n
+    while not _is_prime(n):
+        n += 2
+    return n
+
+
 def _gram_positions(df, text_col: str, n: int, m_bits: int, k: int, *keep):
     """Explode documents into (``*keep``, a, b, pos): one row per n-gram
-    per probe position, all hashing in Catalyst."""
+    per probe position, all hashing in Catalyst.
+
+    Positions are Kirsch-Mitzenmacher double hashing pos_i = (a + i·b)
+    mod m with ``m`` PRIME and the step forced into [1, m-1]: a composite
+    m lets a gram whose step shares a large factor with m cycle through
+    only m/gcd distinct bits — hit in r8 at sf0.01, where m = 2^6·7·29
+    gave one gram just TWO distinct probe bits and a ~25 % false-positive
+    chance instead of 2^-k; prime m makes every step a unit so all k
+    positions are distinct.  No int64 overflow: a,b reduced first, so
+    the sum is < (k+1)·m."""
     from quality_filter.cluster import _word_ngrams_from_words
 
     grams = df.select(
@@ -98,10 +139,8 @@ def _gram_positions(df, text_col: str, n: int, m_bits: int, k: int, *keep):
         F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_A)).alias("a"),
         F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_B)).alias("b"),
     )
-    # s = pmod(a,m) + i*pmod(b,m) <= (k+1)*m — no int64 overflow for any
-    # realistic m (the inline pmod keeps the Kirsch-Mitzenmacher sum small)
     am = F.pmod(F.col("a"), F.lit(m_bits))
-    bm = F.pmod(F.col("b"), F.lit(m_bits))
+    bm = F.pmod(F.col("b"), F.lit(m_bits - 1)) + F.lit(1)  # step in [1, m-1]
     pos = F.array(*[
         F.pmod(am + F.lit(i) * bm, F.lit(m_bits)) for i in range(k)
     ])
@@ -138,7 +177,9 @@ def build_decontamination_filter(
             .distinct()
             .count()
         )
-    m_bits = max(1024, ((expected_grams * bits_per_gram + 63) // 64) * 64)
+    # PRIME m (see _gram_positions): the bitset still materializes as
+    # ceil(m/64) words; the last word is simply partial
+    m_bits = _next_prime(max(1031, expected_grams * bits_per_gram))
     k = max(1, round(bits_per_gram * math.log(2)))
     pos = _gram_positions(benchmark, text_col, n, m_bits, k)
     bits = (

@@ -368,17 +368,25 @@ def q_dedup_prefix_exact(spark, sf_dir):
     )
 
 
-def _word_shingles3(text_col):
-    """3-word shingles, empty for docs under 3 words (Spark sequence(0, -1)
-    is DESCENDING and would crash the slice; DuckDB range(0, n<=0) is
-    already empty — the guard keeps the two sides aligned on short docs)."""
-    w = F.split(text_col, " ")
-    n_sh = F.size(w) - 2
+def _word_shingles3(words_col):
+    """3-word shingles from an ALREADY-SPLIT word-array column; empty for
+    docs under 3 words (Spark sequence(0, -1) is DESCENDING and would
+    crash the slice; DuckDB range(0, n<=0) is already empty — the guard
+    keeps the two sides aligned on short docs).
+
+    Callers hoist ``split(text)`` into its own projection under the
+    consuming explode and pass the bound attribute: Catalyst re-evaluates
+    a transform lambda's CAPTURED expressions once per element, so an
+    inline split is O(words²) per document — the library twin
+    (dedup.word_shingles_from_words) measured the hoist 3× on the corpus
+    minhash stage.  The Generate under the second select is the barrier
+    that keeps CollapseProject from re-inlining the split."""
+    n_sh = F.size(words_col) - 2
     return F.when(
         n_sh >= 1,
         F.transform(
             F.sequence(F.lit(0), F.greatest(n_sh, F.lit(1)) - 1),
-            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+            lambda i: F.array_join(F.slice(words_col, i + 1, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -400,8 +408,9 @@ def q_jaccard_near_dups(spark, sf_dir):
     """n-gram Jaccard near-dup detection: 3-word shingles, shingle-join
     candidate generation, Jaccard >= 0.5."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
     sh = (
-        docs.select("doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle"))
+        words.select("doc_id", F.explode(_word_shingles3(F.col("_w"))).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -481,8 +490,9 @@ def q_minhash_candidates(spark, sf_dir):
 
 
 def _minhash_pairs_df(docs):
-    sh = docs.select(
-        "doc_id", F.explode(_word_shingles3(F.col("text"))).alias("shingle")
+    words = docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    sh = words.select(
+        "doc_id", F.explode(_word_shingles3(F.col("_w"))).alias("shingle")
     )
     # materialize (a, b) in a projection so the digest is computed ONCE
     # per shingle, not once per aggregate expression
@@ -1651,8 +1661,10 @@ _NGRAM8 = (
 )
 
 
-@_register(
-    "decontaminate_docs",
+# Shared by decontaminate_docs (exact path) and decontaminate_bloom_docs:
+# the Bloom variant is stamped against the SAME exact-gram oracle (see its
+# docstring for why equality — not just superset — holds at this sizing).
+_DECONTAM_SQL = (
     "WITH benchdocs AS ("
     " SELECT text FROM documents WHERE doc_id % 97 = 0"
     " UNION ALL"
@@ -1671,8 +1683,11 @@ _NGRAM8 = (
     "  GROUP BY doc_id) "
     "SELECT d.doc_id, COALESCE(h.n_overlap, 0) AS n_overlap,"
     " COALESCE(h.n_overlap, 0) > 0 AS contaminated "
-    "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 97 <> 0",
+    "FROM documents d LEFT JOIN hits h USING (doc_id) WHERE d.doc_id % 97 <> 0"
 )
+
+
+@_register("decontaminate_docs", _DECONTAM_SQL)
 def q_decontaminate_docs(spark, sf_dir):
     """Test-set decontamination (GPT-3 appx. C / Gopher style): flag
     training docs sharing any 8-word gram with a benchmark set — the
@@ -2789,3 +2804,277 @@ def q_paragraph_dedup_hashed(spark, sf_dir):
     return paragraph_dedup(_rep_world_spark(spark, sf_dir), key="hash").select(
         "doc_id", "clean_text", "n_paras_kept", "n_paras_total"
     )
+
+
+# ---------------------------------------------------------------------------
+# r8: driver stamps for the four r7 pytest-only components (VERDICT r7 #2) —
+# the fused Arrow gate, the composed corpus build, the trainable quality
+# classifier, Bloom decontamination — plus the per-domain contribution cap.
+# ---------------------------------------------------------------------------
+
+
+def _fused_gate_ctes(src: str, pfx: str) -> str:
+    """DuckDB mirror of ``textstats.fused_gate_arrow`` over the ``src``
+    CTE (doc_id, text): emits ``{pfx}ck``/``{pfx}cc``/``{pfx}gm`` and a
+    final ``{pfx}gate`` CTE with (doc_id, clean_text, c4_keep,
+    gopher_keep) — C4 line keep → page gates → Gopher quality +
+    repetition rules over the C4-CLEANED text, generated from the same
+    frozen thresholds (textstats.C4_*/GOPHER_*) as the Spark side so the
+    two cannot drift.  clean_text is '' when the page fails C4 (the
+    fused row returns ("", False, False)); the gopher conjunction is
+    ANDed with c4_keep exactly as the fused short-circuit does."""
+    from quality_filter import textstats as ts
+
+    stop_list = ", ".join(f"'{s}'" for s in ts.GOPHER_STOPWORDS)
+    kept = (
+        "list_filter(string_split(text, chr(10)), ln ->"
+        " regexp_matches(rtrim(ln), '[.!?\"]$')"
+        " AND len(list_filter(regexp_split_to_array(ln, '\\s+'), w -> w <> ''))"
+        f"  >= {ts.C4_MIN_WORDS_PER_LINE})"
+    )
+    c4k = (
+        f"len(kept) >= {ts.C4_MIN_LINES}"
+        " AND NOT contains(lower(text), 'lorem ipsum')"
+        " AND NOT contains(text, '{')"
+    )
+    words = "list_filter(regexp_split_to_array(clean_text, '\\s+'), w -> w <> '')"
+    lns = "string_split(clean_text, chr(10))"
+    nz = "list_filter(string_split(clean_text, chr(10)), ln -> ln <> '')"
+    paras = (
+        "list_filter(regexp_split_to_array(clean_text, '\\n{2,}'), p -> p <> '')"
+    )
+
+    def dup(units: str, prefix: str) -> str:
+        return (
+            f" CAST(len({units}) - len(list_distinct({units})) AS DOUBLE)"
+            f"  / greatest(1, len({units})) AS {prefix}_frac,"
+            f" CAST(coalesce(list_sum(list_transform({units}, u -> length(u))), 0)"
+            f"      - coalesce(list_sum(list_transform(list_distinct({units}),"
+            f"        u -> length(u))), 0) AS DOUBLE)"
+            f"  / greatest(1, coalesce(list_sum(list_transform({units},"
+            f"    u -> length(u))), 0)) AS {prefix}_char_frac,"
+        )
+
+    return (
+        f"{pfx}ck AS (SELECT doc_id, text, {kept} AS kept FROM {src}), "
+        f"{pfx}cc AS (SELECT doc_id, ({c4k}) AS c4_keep,"
+        f" CASE WHEN {c4k} THEN array_to_string(kept, chr(10)) ELSE '' END"
+        f" AS clean_text FROM {pfx}ck), "
+        f"{pfx}gm AS (SELECT doc_id, c4_keep, clean_text,"
+        f" CAST(len({words}) AS INT) AS word_count,"
+        f" CAST(coalesce(list_sum(list_transform({words}, w -> length(w))), 0) AS DOUBLE)"
+        f"  / greatest(1, len({words})) AS mean_word_len,"
+        f" CAST(len(regexp_extract_all(clean_text, '#|\\.\\.\\.|…')) AS DOUBLE)"
+        f"  / greatest(1, len({words})) AS symbol_ratio,"
+        f" CAST(len(list_filter({lns}, ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS DOUBLE)"
+        f"  / greatest(1, len({lns})) AS bullet_frac,"
+        f" CAST(len(list_filter({lns}, ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$'))) AS DOUBLE)"
+        f"  / greatest(1, len({lns})) AS ellipsis_frac,"
+        f" CAST(len(list_filter({words}, w -> regexp_matches(w, '\\p{{L}}'))) AS DOUBLE)"
+        f"  / greatest(1, len({words})) AS alpha_word_frac,"
+        f" CAST(len(list_filter([{stop_list}],"
+        f"  s -> list_contains(list_transform({words}, w -> lower(w)), s))) AS INT)"
+        f"  AS stopword_hits,"
+        f"{dup(nz, 'dup_line')}{dup(paras, 'dup_para')}"
+        f" 1 AS _x FROM {pfx}cc), "
+        f"{pfx}gate AS (SELECT doc_id, clean_text, c4_keep, c4_keep"
+        f" AND (word_count BETWEEN {ts.GOPHER_MIN_WORDS} AND {ts.GOPHER_MAX_WORDS})"
+        f" AND (mean_word_len BETWEEN {ts.GOPHER_MIN_MEAN_WORD_LEN}"
+        f"      AND {ts.GOPHER_MAX_MEAN_WORD_LEN})"
+        f" AND symbol_ratio <= {ts.GOPHER_MAX_SYMBOL_RATIO}"
+        f" AND bullet_frac <= {ts.GOPHER_MAX_BULLET_FRAC}"
+        f" AND ellipsis_frac <= {ts.GOPHER_MAX_ELLIPSIS_FRAC}"
+        f" AND alpha_word_frac >= {ts.GOPHER_MIN_ALPHA_WORD_FRAC}"
+        f" AND stopword_hits >= {ts.GOPHER_MIN_STOPWORD_HITS}"
+        f" AND dup_line_frac <= {ts.GOPHER_MAX_DUP_LINE_FRAC}"
+        f" AND dup_line_char_frac <= {ts.GOPHER_MAX_DUP_LINE_CHAR_FRAC}"
+        f" AND dup_para_frac <= {ts.GOPHER_MAX_DUP_PARA_FRAC}"
+        f" AND dup_para_char_frac <= {ts.GOPHER_MAX_DUP_PARA_CHAR_FRAC}"
+        f" AS gopher_keep FROM {pfx}gm)"
+    )
+
+
+def _fused_gate_sql() -> str:
+    return (
+        f"WITH {_C4WORLD_CTE}, {_fused_gate_ctes('c4world', 'fg')} "
+        "SELECT doc_id, clean_text, c4_keep, gopher_keep FROM fggate"
+    )
+
+
+@_register("fused_gate_docs", _fused_gate_sql())
+def q_fused_gate_docs(spark, sf_dir):
+    """The fused Arrow corpus gate (textstats.fused_gate_arrow) over the
+    line-structured world: ONE mapInPandas plan node computes the C4
+    line clean + both Gopher gate verdicts as columns (5.4× the
+    interpreted HOF chain at identical survivors — BENCH/r7_gates_ab.json).
+    This row stamps the fused composition itself against an independent
+    DuckDB mirror of C4→quality→repetition over the cleaned text; the
+    component gates are separately stamped by c4_line_filter /
+    gopher_quality_flags / gopher_repetition."""
+    from quality_filter.textstats import fused_gate_arrow
+
+    return fused_gate_arrow(_structured_docs(spark, sf_dir)).select(
+        "doc_id", "clean_text", "c4_keep", "gopher_keep"
+    )
+
+
+def _corpus_build_sql() -> str:
+    return (
+        "WITH "
+        + _C4WORLD_CTE
+        + ", cbworld AS (SELECT doc_id, text FROM c4world"
+        "   UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM c4world"
+        "   WHERE doc_id % 7 = 3), "
+        + _fused_gate_ctes("cbworld", "cb")
+        + ", gatepass AS (SELECT doc_id, clean_text AS text FROM cbgate"
+        "   WHERE gopher_keep), "
+        "norm AS (SELECT doc_id, text,"
+        "  trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g')) AS fp"
+        "  FROM gatepass), "
+        "keepers AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY fp), "
+        "uniq AS (SELECT n.doc_id, n.text FROM norm n"
+        "  JOIN keepers k ON n.doc_id = k.doc_id), "
+        "cbbench AS (SELECT clean_text AS text FROM cbgate"
+        "  WHERE doc_id % 17 = 3 AND doc_id < 100000 AND c4_keep), "
+        f"bgr AS (SELECT DISTINCT gram FROM (SELECT unnest({_NGRAM8}) AS gram"
+        "  FROM cbbench)), "
+        f"dgr AS (SELECT doc_id, unnest({_NGRAM8}) AS gram FROM uniq), "
+        "flagged AS (SELECT DISTINCT doc_id FROM dgr JOIN bgr USING (gram)) "
+        "SELECT doc_id, text FROM uniq"
+        " WHERE doc_id NOT IN (SELECT doc_id FROM flagged)"
+    )
+
+
+@_register("corpus_build_docs", _corpus_build_sql())
+def q_corpus_build_docs(spark, sf_dir):
+    """The COMPOSED pre-training corpus build (corpus.build_pretrain_corpus,
+    arrow gate path): fused C4+Gopher gates → exact dedup (planted +100000
+    copies of every doc_id % 7 == 3 page must die, keeper = min id) →
+    MinHash-LSH near-dup stage with verify_exact=True (runs for real; the
+    oracle states the TRUE semantics — no non-identical pair in this world
+    reaches Jaccard 0.9, so estimated-Jaccard candidates that fail the
+    exact verify must remove nothing) → exact decontamination against the
+    C4-cleaned doc_id % 17 == 3 pages (a leak class chosen to contain
+    gate survivors, so the stage provably removes documents).
+    One driver row stamping the whole composition the bench's corpus-build
+    lane measures."""
+    from quality_filter.corpus import build_pretrain_corpus
+    from quality_filter.textstats import c4_line_filter
+
+    structured = _structured_docs(spark, sf_dir)
+    dups = structured.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    world = structured.unionByName(dups)
+    bench = c4_line_filter(
+        structured.filter(F.col("doc_id") % 17 == 3)
+    ).select(F.col("clean_text").alias("text"))
+    return build_pretrain_corpus(
+        world,
+        benchmark=bench,
+        jaccard_threshold=0.9,
+        verify_exact=True,
+        max_bucket_size=None,
+        decontaminate_impl="exact",
+    ).select("doc_id", "text")
+
+
+@_register("decontaminate_bloom_docs", _DECONTAM_SQL)
+def q_decontaminate_bloom_docs(spark, sf_dir):
+    """Bloom-filter decontamination (curation.decontaminate_bloom) on the
+    same planted-leak world as decontaminate_docs, stamped against the
+    SAME exact-gram oracle: at bits_per_gram=48 (k=33, gram fpp ≈ 1e-10)
+    the deterministic seeded-xxhash64 bitset has zero false positives at
+    this scale — a stable property, not a lucky draw — while the
+    no-false-negative direction (every truly contaminated doc flagged)
+    holds for ANY sizing.  Build is a map-side-combinable bit_or over
+    Kirsch-Mitzenmacher bit positions; probe is a broadcast hash join;
+    zero Python workers."""
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    snippets = train.filter(F.col("doc_id") % 89 == 1).select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias("text")
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text").unionByName(
+        snippets
+    )
+    bits, meta = build_decontamination_filter(bench, n=8, bits_per_gram=48)
+    return decontaminate_bloom(train, bits, meta)
+
+
+# Planted MARGIN-separated linear rule over the deterministic Gopher
+# metrics: label = [s > _QM_C] where s is exactly computable (and
+# bit-identical) in both engines; rows within _QM_EPS of the boundary are
+# excluded on BOTH sides, so the trained classifier's 0.5-thresholded
+# prediction must reproduce the rule exactly while staying robust to
+# float-summation-order noise in distributed training.
+_QM_C = 2.5
+_QM_EPS = 0.3
+_QM_RULE = "0.02 * word_count + 0.6 * stopword_hits - 8 * symbol_ratio"
+
+
+def _qmodel_sql() -> str:
+    return (
+        f"SELECT doc_id, CAST(({_QM_RULE}) > {_QM_C} AS INT) AS pred "
+        f"FROM ({_gopher_sql()}) g "
+        f"WHERE abs(({_QM_RULE}) - {_QM_C}) > {_QM_EPS}"
+    )
+
+
+@_register("qmodel_train_score", _qmodel_sql())
+def q_qmodel_train_score(spark, sf_dir):
+    """M4 trainable counterpart, train→score driver stamp: MLlib L-BFGS
+    logistic regression (qmodel.train_quality_classifier — map-side
+    gradients, model-sized driver state, training-summary stripped) over
+    the scan-shaped Gopher metric features, trained on the planted
+    margin-separated linear rule and scored through the pure-JVM
+    transform path (qmodel.score_quality).  The hashed output is the 0.5-
+    thresholded PREDICTION, not the probability, so the stamp requires
+    the learned boundary to land inside the planted margin band."""
+    from quality_filter.qmodel import score_quality, train_quality_classifier
+    from quality_filter.textstats import with_gopher_flags
+
+    feats = with_gopher_flags(_structured_docs(spark, sf_dir))
+    s = (
+        F.lit(0.02) * F.col("word_count")
+        + F.lit(0.6) * F.col("stopword_hits")
+        - F.lit(8.0) * F.col("symbol_ratio")
+    )
+    labeled = (
+        feats.withColumn("_s", s)
+        .filter(F.abs(F.col("_s") - F.lit(_QM_C)) > _QM_EPS)
+        .select(
+            "doc_id", "text", (F.col("_s") > _QM_C).cast("int").alias("keep")
+        )
+    )
+    model = train_quality_classifier(
+        labeled, "keep", max_iter=100, reg_param=0.001
+    )
+    return score_quality(model, labeled).select(
+        "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("pred")
+    )
+
+
+@_register(
+    "cap_per_source_docs",
+    "SELECT doc_id, source, n_chars FROM ("
+    " SELECT doc_id, source, n_chars, row_number() OVER ("
+    "  PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn"
+    " FROM documents) WHERE rn <= 5",
+)
+def q_cap_per_source_docs(spark, sf_dir):
+    """Per-domain contribution cap (curation.cap_per_key — RefinedWeb/
+    Dolma-style): keep the 5 longest documents per source, doc_id as the
+    deterministic tiebreaker.  Planned as a rank-limit window
+    (row_number <= k) → WindowGroupLimit with a map-side PARTIAL pass, so
+    a 10^9-row domain ships tasks×k rows through the exchange, not 10^9
+    into one sort task (plan-asserted in tests/test_round7.py)."""
+    from quality_filter.curation import cap_per_key
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return cap_per_key(docs, key_col="source", k=5, order_col="n_chars")
