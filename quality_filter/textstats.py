@@ -518,19 +518,28 @@ def tfidf_top_terms(
 # ONE Arrow-batched pass (r7).  The HOF gates above are the oracle-checked
 # reference; this is the 100-TB hot path for the composed corpus build —
 # the r7 A/B (BENCH/r7_gates_ab.json) measured the interpreted HOF chain
-# at ~2.3× the fused gate's wall time on a 250 MB corpus at local[32],
-# consistent with the r4 finding that Catalyst array HOFs run interpreted.
-# Survivor sets and cleaned text are pinned identical to the HOF path
-# (tests/test_round7.py) on ASCII + the adversarial-alphabet fixtures;
-# Java-vs-Python regex semantics are aligned by construction (explicit
-# ASCII \s class, space-only trims, str.isalpha == \p{L} on the letter
-# categories the gates see).
+# at 5.4× the fused gate's wall time at identical survivors on a 200k-doc
+# corpus at local[32], consistent with the r4 finding that Catalyst array
+# HOFs run interpreted.  Survivor sets and cleaned text are pinned
+# identical to the HOF path (tests/test_round7.py) on ASCII + the
+# adversarial-alphabet fixtures; Java-vs-Python regex semantics are
+# aligned by construction (explicit ASCII \s class, space-only trims,
+# str.isalpha == \p{L} on the letter categories the gates see).
+#
+# r8 adds a second kernel behind the same plan node: _fused_gate_batch,
+# built on pyarrow.compute C++ kernels (no per-element Python on the fast
+# lane).  _fused_gate_row stays as the parity oracle; tests/test_round8.py
+# pins the two column-exact on adversarial corpora, and
+# BENCH/r8_gates_ab.json carries the measured A/B.
 # ---------------------------------------------------------------------------
 
 import re as _re
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 _PY_WS = _re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s is ASCII-only
 _PY_TERM = _re.compile(r'[.!?"]$')
@@ -608,12 +617,218 @@ def _fused_gate_row(t: str, min_words_per_line: int, min_lines: int,
     return clean, True, True
 
 
+# --- r8 Arrow-compute batch kernel ------------------------------------------
+# Per-kernel measurements that shaped it (BENCH/ROUND8_NOTES.md): RE2
+# class-star token patterns pay ~0.5 µs per MATCH, so counting every
+# token-with-a-letter is ~10× slower than scanning for the rare class
+# (letterless tokens); utf8_split_whitespace (non-regex C++) beats the
+# [\s]+ run-count regex ~3×; plain substring kernels (memchr) beat
+# single-char regex classes ~10×.  Docs containing non-ASCII Unicode
+# whitespace take the exact row-kernel lane — utf8_split_whitespace
+# splits on Unicode White_Space, the row kernel's \s is ASCII-only.
+
+_FG_WSC = " \t\n\x0b\f\r"  # the row kernel's ASCII \s
+# Unicode White_Space beyond ASCII (utf8proc set, = the divergence set)
+_FG_EXOTIC_WS_RE = (
+    "[\\x{0085}\\x{00a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]"
+)
+_FG_RE_TERM = '[.!?"]$'
+_FG_RE_SYM = "#|\\.\\.\\.|…"
+_FG_RE_BULLET = "(?m)^ *[-*•]"
+_FG_RE_ELL = "(?m)(?:\\.\\.\\.|…) *$"
+_FG_RE_NON_ASCII = "[^\\x00-\\x7f]"
+# one match per ws-delimited token that contains an ASCII letter (used
+# only on the small unicode-residue subset)
+_FG_RE_TOK_ASCII_ALPHA = f"[^{_FG_WSC}]*[A-Za-z][^{_FG_WSC}]*"
+
+
+def _fg_np(a) -> np.ndarray:
+    return a.to_numpy(zero_copy_only=False)
+
+
+def _fg_token_count(arr: pa.Array) -> np.ndarray:
+    """ASCII-ws token count: trim, then utf8_split_whitespace (which keeps
+    leading/trailing empty tokens — hence the trim) with an empty guard."""
+    t = pc.utf8_trim(arr, _FG_WSC)
+    lens = _fg_np(pc.list_value_length(pc.utf8_split_whitespace(t)))
+    return np.where(_fg_np(pc.equal(t, "")), 0, lens).astype(np.int64)
+
+
+def _fg_space_norm(arr: pa.Array) -> pa.Array:
+    """Every ASCII-ws char → ' ' (plain replaces, memchr-fast)."""
+    for ch in "\t\n\x0b\f\r":
+        arr = pc.replace_substring(arr, ch, " ")
+    return arr
+
+
+def _fused_gate_batch(
+    texts: pd.Series,
+    min_words_per_line: int,
+    min_lines: int,
+    with_repetition: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(clean_text, c4_keep, gopher_keep) arrays for one Arrow batch —
+    column-exact vs ``_fused_gate_row`` (tests/test_round8.py)."""
+    n = len(texts)
+    clean_out = np.full(n, "", dtype=object)
+    c4_out = np.zeros(n, dtype=bool)
+    gk_out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return clean_out, c4_out, gk_out
+    arr0 = pc.coalesce(pa.array(texts, type=pa.string()), "")
+
+    # exact lane for docs whose whitespace the fast lane would mis-split
+    exotic = _fg_np(pc.match_substring_regex(arr0, _FG_EXOTIC_WS_RE))
+    slow_idx = np.flatnonzero(exotic)
+    for i in slow_idx:
+        c, k4, kg = _fused_gate_row(
+            arr0[int(i)].as_py(), min_words_per_line, min_lines,
+            with_repetition,
+        )
+        clean_out[i], c4_out[i], gk_out[i] = c, k4, kg
+    fast_idx = np.flatnonzero(~exotic)
+    if len(fast_idx) == 0:
+        return clean_out, c4_out, gk_out
+    arr = arr0.take(pa.array(fast_idx)) if len(slow_idx) else arr0
+    m = len(fast_idx)
+
+    page_bad = _fg_np(pc.or_(
+        pc.match_substring(arr, "{"),
+        pc.match_substring(arr, "lorem ipsum", ignore_case=True),
+    ))
+
+    # ---- C4 line keep over the exploded lines ---------------------------
+    lines = pc.split_pattern(arr, "\n")
+    counts = _fg_np(pc.list_value_length(lines)).astype(np.int64)
+    flat = pc.list_flatten(lines)
+    doc_idx = np.repeat(np.arange(m), counts)
+    term = _fg_np(
+        pc.match_substring_regex(pc.utf8_rtrim(flat, " "), _FG_RE_TERM)
+    )
+    wc_line = _fg_token_count(flat)
+    keep_line = term & (wc_line >= min_words_per_line)
+    n_kept = np.bincount(doc_idx[keep_line], minlength=m)
+    c4_keep = (~page_bad) & (n_kept >= min_lines)
+
+    # '\n'-join of kept lines as ONE C++ kernel (binary_join over a
+    # rebuilt ListArray), no per-doc Python
+    kept_flat = flat.filter(pa.array(keep_line))
+    offsets = np.zeros(m + 1, dtype=np.int32)
+    np.cumsum(n_kept, out=offsets[1:])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), kept_flat), "\n"
+    )
+    clean_all = pc.if_else(pa.array(c4_keep), joined, "")
+    clean_out[fast_idx] = np.asarray(_fg_np(clean_all), dtype=object)
+    c4_out[fast_idx] = c4_keep
+
+    surv = np.flatnonzero(c4_keep)
+    if len(surv) == 0:
+        return clean_out, c4_out, gk_out
+    cs = clean_all.take(pa.array(surv))
+
+    # ---- Gopher quality rules over the cleaned survivors ----------------
+    # ws-normalized view (every ASCII-ws char → ' '): the remaining counts
+    # use PLAIN substring kernels and space-only token patterns
+    norm = _fg_space_norm(cs)
+    wc = _fg_token_count(norm)
+    wc1 = np.maximum(1, wc).astype(np.float64)
+    # sum of token lengths: leading/trailing ws cancels between the terms
+    sum_wl = (
+        _fg_np(pc.utf8_length(norm)) - _fg_np(pc.count_substring(norm, " "))
+    )
+    mean_wl = sum_wl / wc1
+    sym_ratio = _fg_np(pc.count_substring_regex(cs, _FG_RE_SYM)) / wc1
+    nl1 = np.maximum(
+        1, _fg_np(pc.count_substring(cs, "\n")) + 1
+    ).astype(np.float64)
+    bullet_frac = _fg_np(pc.count_substring_regex(cs, _FG_RE_BULLET)) / nl1
+    ell_frac = _fg_np(pc.count_substring_regex(cs, _FG_RE_ELL)) / nl1
+
+    # alpha-word fraction, two-tiered like the row kernel, counting the
+    # RARE class.  On the space-DOUBLED padded text every token is flanked
+    # by ≥ 2 spaces, so adjacent letterless tokens cannot consume each
+    # other's delimiter — the count is exact.  Only docs that BOTH carry a
+    # non-ASCII byte AND have letterless-ASCII tokens can owe extra alpha
+    # words to the unicode fallback (str.isalpha over the tiny residue).
+    lowpad = pc.binary_join_element_wise(" ", pc.utf8_lower(norm), " ", "")
+    doubled = pc.replace_substring(
+        pc.binary_join_element_wise(" ", norm, " ", ""), " ", "  "
+    )
+    non_alpha = _fg_np(pc.count_substring_regex(doubled, " [^ A-Za-z]+ "))
+    unicode_alpha = np.zeros(len(surv), dtype=np.int64)
+    has_nonascii = _fg_np(pc.match_substring_regex(cs, _FG_RE_NON_ASCII))
+    maybe = np.flatnonzero(has_nonascii & (non_alpha > 0))
+    if len(maybe) > 0:
+        residue = pc.replace_substring_regex(
+            cs.take(pa.array(maybe)), _FG_RE_TOK_ASCII_ALPHA, ""
+        )
+        ws_split = _re.compile(f"[{_FG_WSC}]+").split
+        for j, txt in zip(maybe, residue.to_pylist()):
+            unicode_alpha[j] = sum(
+                1 for w in ws_split(txt) if w and any(c.isalpha() for c in w)
+            )
+    alpha_frac = (wc - non_alpha + unicode_alpha) / wc1
+
+    # distinct stopword hits: one PLAIN substring probe per stopword on
+    # the padded lowercased view (token equality ⇔ ' word ' in it)
+    stop_hits = np.zeros(len(surv), dtype=np.int64)
+    for s in GOPHER_STOPWORDS:
+        stop_hits += _fg_np(pc.match_substring(lowpad, f" {s} "))
+
+    ok = (
+        (wc >= GOPHER_MIN_WORDS)
+        & (wc <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+    if with_repetition:
+        # duplicate-line rules on the cleaned text; C4-kept lines are
+        # never empty (an empty line has no terminal punctuation), so the
+        # nonempty-line unit set == kept lines and the paragraph split
+        # (\n{2,}) can never fire — paragraph fracs are identically 0 and
+        # always pass, exactly as in the row kernel.
+        in_surv = c4_keep[doc_idx[keep_line]]
+        pos = np.searchsorted(surv, doc_idx[keep_line][in_surv])
+        ru = kept_flat.filter(pa.array(in_surv))
+        lens = _fg_np(pc.utf8_length(ru)).astype(np.int64)
+        k = len(surv)
+        n_units = np.bincount(pos, minlength=k)
+        chars = np.bincount(pos, weights=lens, minlength=k)
+        codes = pd.factorize(np.asarray(_fg_np(ru), dtype=object))[0]
+        pair = pd.DataFrame(
+            {"p": pos, "c": codes, "l": lens}
+        ).drop_duplicates(subset=["p", "c"])
+        n_dist = np.bincount(pair["p"].to_numpy(), minlength=k)
+        chars_d = np.bincount(
+            pair["p"].to_numpy(), weights=pair["l"].to_numpy(), minlength=k
+        )
+        dup_frac = (n_units - n_dist) / np.maximum(1, n_units)
+        dup_char = (chars - chars_d) / np.maximum(1, chars)
+        ok &= (dup_frac <= GOPHER_MAX_DUP_LINE_FRAC) & (
+            dup_char <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+        )
+
+    gk = np.zeros(m, dtype=bool)
+    gk[surv] = ok
+    gk_out[fast_idx] = gk
+    return clean_out, c4_out, gk_out
+
+
 def fused_gate_arrow(
     df: DataFrame,
     text_col: str = "text",
     min_words_per_line: int = C4_MIN_WORDS_PER_LINE,
     min_lines: int = C4_MIN_LINES,
     with_repetition: bool = True,
+    impl: str = "batch",
 ) -> DataFrame:
     """Append ``clean_text`` (C4-surviving lines re-joined), ``c4_keep``
     and ``gopher_keep`` via one Arrow-batched pass — a non-filtering
@@ -626,9 +841,16 @@ def fused_gate_arrow(
     column expression: predicate pushdown substitutes UDF-column filters
     through projections, and over complex expression inputs Catalyst can
     land the PythonUDF inside an interpreted Filter ([INTERNAL_ERROR]
-    Cannot evaluate expression) — a plan node cannot be collapsed into."""
+    Cannot evaluate expression) — a plan node cannot be collapsed into.
+
+    ``impl``: 'batch' (default — the r8 Arrow-compute kernel,
+    BENCH/r8_gates_ab.json) or 'row' (the r7 per-doc kernel, kept as the
+    parity oracle).  Outputs are column-exact between the two
+    (tests/test_round8.py)."""
     from quality_filter.shipping import ensure_shipped
 
+    if impl not in ("batch", "row"):
+        raise ValueError(f"impl must be 'batch' or 'row', got {impl!r}")
     ensure_shipped(df.sparkSession)
     out_schema = (
         ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
@@ -637,14 +859,26 @@ def fused_gate_arrow(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                _fused_gate_row(t, min_words_per_line, min_lines, with_repetition)
-                for t in pdf[text_col].tolist()
-            ]
-            g = pd.DataFrame(
-                rows, columns=["clean_text", "c4_keep", "gopher_keep"],
-                index=pdf.index,
-            )
+            if impl == "batch":
+                clean, c4, gk = _fused_gate_batch(
+                    pdf[text_col], min_words_per_line, min_lines,
+                    with_repetition,
+                )
+                g = pd.DataFrame(
+                    {"clean_text": clean, "c4_keep": c4, "gopher_keep": gk},
+                    index=pdf.index,
+                )
+            else:
+                rows = [
+                    _fused_gate_row(
+                        t, min_words_per_line, min_lines, with_repetition
+                    )
+                    for t in pdf[text_col].tolist()
+                ]
+                g = pd.DataFrame(
+                    rows, columns=["clean_text", "c4_keep", "gopher_keep"],
+                    index=pdf.index,
+                )
             yield pd.concat([pdf, g], axis=1)
 
     return df.mapInPandas(run, out_schema)
