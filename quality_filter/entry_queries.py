@@ -3051,9 +3051,16 @@ def q_qmodel_train_score(spark, sf_dir):
         .select(
             "doc_id", "text", (F.col("_s") > _QM_C).cast("int").alias("keep")
         )
+        # tiny table, many consumers: the scaler fit, LR's instance build
+        # and the scoring pass would each re-run the interpreted
+        # world-builder lineage otherwise
+        .localCheckpoint()
     )
+    # 40 L-BFGS iterations suffice for the margin-separated world (each
+    # iteration is a whole Spark job — fixed job overhead dominates on a
+    # table this small, so the cap is the row's wall-time knob)
     model = train_quality_classifier(
-        labeled, "keep", max_iter=100, reg_param=0.001
+        labeled, "keep", max_iter=40, reg_param=0.001
     )
     return score_quality(model, labeled).select(
         "doc_id", (F.col("quality_prob") >= 0.5).cast("int").alias("pred")
