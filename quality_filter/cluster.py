@@ -89,21 +89,23 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        labels = nodes.select(
-            F.col(id_col).alias("_v"), F.col(id_col).alias("_lbl")
-        ).localCheckpoint()
-        sig = _label_sig(labels)
+        # r8: iterate ONLY the edge-touched subgraph.  A vertex with no
+        # edge receives no messages and its min-label is itself, so
+        # singletons are re-attached by one left join at the end — every
+        # per-iteration shuffle scales with the near-dup subgraph
+        # (typically ≪ corpus after exact dedup), not the corpus.
+        labels, sig = _checkpoint_with_sig(
+            und.select(F.col("_s").alias("_v"))
+            .distinct()
+            .select("_v", F.col("_v").alias("_lbl"))
+        )
         for it in range(max_iter):
             msgs = und.join(labels, und["_s"] == labels["_v"]).select(
                 F.col("_d").alias("_v"), F.col("_lbl")
             )
-            labels = (
-                labels.union(msgs)
-                .groupBy("_v")
-                .agg(F.min("_lbl").alias("_lbl"))
-                .localCheckpoint()
+            labels, new_sig = _checkpoint_with_sig(
+                labels.union(msgs).groupBy("_v").agg(F.min("_lbl").alias("_lbl"))
             )
-            new_sig = _label_sig(labels)
             if new_sig == sig:
                 if stats is not None:
                     stats["iterations"] = it + 1
@@ -119,7 +121,11 @@ def connected_components(
         # any mid-loop failure) must not leak the cached edge DataFrame for
         # the session's lifetime
         und.unpersist()
-    return labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("cluster_rep"))
+    comp = labels.select(F.col("_v").alias(id_col), F.col("_lbl").alias("cluster_rep"))
+    return nodes.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_rep"), F.col(id_col)).alias("cluster_rep"),
+    )
 
 
 def _label_sig(labels: DataFrame):
@@ -131,6 +137,34 @@ def _label_sig(labels: DataFrame):
         F.sum(F.xxhash64("_v", "_lbl").cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return row["n"], row["h"]
+
+
+def _checkpoint_with_sig(labels: DataFrame):
+    """Eagerly localCheckpoint a (_v, _lbl) assignment and return
+    ``(checkpointed_df, fixpoint_signature)`` where the signature rides
+    the SAME job as the checkpoint via ``df.observe`` — the pre-r8 loop
+    paid a second whole-lineage aggregate job per iteration just to read
+    it.  Falls back to the explicit aggregate if the checkpoint action
+    ever stops populating observations (Spark version drift)."""
+    import time
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = labels.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("_v", "_lbl").cast("decimal(38,0)")).alias("h"),
+    )
+    ck = observed.localCheckpoint()
+    jo = getattr(obs, "_jo", None)
+    deadline = time.monotonic() + 5.0
+    while jo is not None and time.monotonic() < deadline:
+        if jo.getRowOrEmpty().isDefined():
+            row = obs.get
+            return ck, (row["n"], row["h"])
+        time.sleep(0.01)
+    return ck, _label_sig(ck)
 
 
 def _sym(e: DataFrame) -> DataFrame:
