@@ -429,13 +429,17 @@ def main() -> None:
     built = build_pretrain_corpus(df.select("doc_id", "text"))
     built.count()
     sections.append((
-        "Composed corpus build (fused Arrow gates → staged dedup, r7)",
+        "Composed corpus build (fused Arrow gates → staged dedup, r7/r8)",
         "The C4 line clean + both Gopher gate verdicts come from ONE "
-        "MapInPandas node (the interpreted HOF chain measured 5.4× its "
-        "wall time); uniq/sig materialize once behind localCheckpoint "
-        "scans, so the gate stage is executed once per build instead of "
-        "once per downstream consumer.  Every join downstream is a hash "
-        "join on an id or band key.",
+        "MapInPandas node (r8: Arrow-compute batch kernel, 2.07× the r7 "
+        "row kernel — BENCH/r8_gates_ab.json; the interpreted HOF chain "
+        "measured 5.4× the row kernel); uniq/sig materialize once behind "
+        "localCheckpoint scans, so the gate stage is executed once per "
+        "build instead of once per downstream consumer.  The connected-"
+        "components loop iterates only the edge-touched subgraph (r8) "
+        "with its convergence signature riding the checkpoint job via "
+        "observe.  Every join downstream is a hash join on an id or "
+        "band key.",
         "\n".join(
             l for l in plan_of(built).splitlines()
             if any(k in l for k in (
@@ -466,6 +470,33 @@ def main() -> None:
         "\n".join(
             l for l in plan_of(capped).splitlines()
             if any(k in l for k in ("WindowGroupLimit", "Window", "Exchange", "Sort"))
+        ),
+    ))
+
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        decontaminate_bloom,
+    )
+
+    bench = df.filter(F.col("doc_id") % 97 == 0).select("text")
+    bits, meta = build_decontamination_filter(bench, n=8)
+    bloomed = decontaminate_bloom(
+        df.filter(F.col("doc_id") % 97 != 0), bits, meta
+    )
+    bloomed.count()
+    sections.append((
+        "Bloom decontamination probe (prime modulus, r8)",
+        "Corpus grams hash to k Kirsch-Mitzenmacher positions over a "
+        "PRIME modulus (a composite m let a degenerate step probe only "
+        "m/gcd distinct bits — a real false positive caught by the r8 "
+        "oracle stamp); the bitset joins in as a BROADCAST hash probe on "
+        "the 64-bit word index, all JVM-side — no Python workers, no "
+        "shuffle of the corpus gram stream before the per-doc aggregate.",
+        "\n".join(
+            l for l in plan_of(bloomed).splitlines()
+            if any(k in l for k in (
+                "Broadcast", "Join", "Exchange", "Aggregate", "Generate",
+            ))
         ),
     ))
 
