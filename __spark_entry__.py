@@ -41,15 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() each round (observed r3-r7).  Rotation plan for round 8:
 #   head  — the 23 rows rotated out in round 7 (r6-green, audit-proven
 #           unchanged through r7 — they need fresh stamps first) plus the
-#           five rows NEW in round 8 (fused_gate_docs, corpus_build_docs,
+#           six rows NEW in round 8 (fused_gate_docs, corpus_build_docs,
 #           decontaminate_bloom_docs, qmodel_train_score,
-#           cap_per_source_docs).
+#           cap_per_source_docs, teacher_label_loop).
 #   mid   — every r7-stamped row whose transitive code path round 8
 #           touched (the entry_queries shingle-split hoist, the textstats
 #           fused-gate vectorization, the shared decontamination oracle
 #           extraction), per the MECHANICAL audit in tests/window_audit.py,
 #           plus dedup/cluster/similarity-heavy fillers.
-#   tail  — the 28 r7-green rows the audit proves untouched: registered
+#   tail  — the 29 r7-green rows the audit proves untouched: registered
 #           function AST + referenced entry_queries globals + transitive
 #           quality_filter import closure all identical to the tree the
 #           r7 driver stamped.  Enforced by tests/test_window_rotation.py.
@@ -72,10 +72,10 @@ _R8_HEAD = [
     "mixture_upsample_docs",
     # new in round 8 — never stamped, so they take window priority
     "fused_gate_docs", "corpus_build_docs", "decontaminate_bloom_docs",
-    "qmodel_train_score", "cap_per_source_docs",
+    "qmodel_train_score", "cap_per_source_docs", "teacher_label_loop",
 ]
 _R8_TAIL = [
-    "pack_chunks", "pack_sequences", "multimodal_features", "eval_report",
+    "exact_dedup_docs", "pack_chunks", "pack_sequences", "multimodal_features", "eval_report",
     "eval_summary", "cohen_kappa", "doc_length_histogram", "top_tokens",
     "length_quantiles_by_source", "dedup_prefix_exact", "token_stats",
     "repetition_stats", "reassemble_docs", "scrub_pii",

@@ -3085,3 +3085,39 @@ def q_cap_per_source_docs(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
     return cap_per_key(docs, key_col="source", k=5, order_col="n_chars")
+
+
+def _teacher_sql() -> str:
+    from quality_filter import teacher as _t
+
+    labs = ", ".join(f"'{l}'" for l in LABELS)
+    return (
+        f"WITH {sqlgen.TURNS_CTE} "
+        f"SELECT doc_id, turn_idx, text, "
+        f"CASE WHEN length(text) % {_t._FAKE_INVALID_MOD} = "
+        f"{_t._FAKE_INVALID_RESIDUE} THEN 'Clean' "
+        f"ELSE [{labs}][CAST(length(text) % {len(LABELS)} AS INT) + 1] END"
+        " AS label FROM turns"
+    )
+
+
+@_register("teacher_label_loop", _teacher_sql())
+def q_teacher_label_loop(spark, sf_dir):
+    """M2: the reference's teacher-labeling classification loop
+    (src/label_lines_with_LLM.py:469-491) with the deterministic fake
+    backend — even per-doc batching → numbered-line prompt rendering (A8)
+    → one mapInPandas generate node → wrapper strip + JSON repair + parse
+    (A7) → line-number alignment with the Clean default → out-of-taxonomy
+    coercion.  The fake derives labels arithmetically from each line's
+    text INSIDE the prompt and answers in fenced, trailing-comma'd JSON,
+    so this row stamps every deterministic stage of the loop end-to-end;
+    the real vLLM backend is the one pluggable seam (out of sandbox)."""
+    from quality_filter.teacher import (
+        fake_structured_teacher,
+        label_lines_with_teacher,
+    )
+
+    t = derive_turns(spark, sf_dir).select("doc_id", "turn_idx", "text")
+    return label_lines_with_teacher(
+        t, fake_structured_teacher, idx_col="turn_idx"
+    )
