@@ -54,6 +54,27 @@ def parse_llm_output(col: Column, schema: StructType | str) -> Column:
     return F.from_json(repair_json(strip_llm_wrapper(col)), schema)
 
 
+def parse_llm_output_py(raw: str):
+    """Driver-side Python twin of the A7 chain, for the model-sized
+    payloads that never touch a DataFrame (e.g. the synonym-review
+    responses in taxonomy.review_synonym_groups): strip(" `\\njson") →
+    trailing-comma removal → quote promotion when the payload has no
+    double quotes → ``json.loads``.  Returns None when the payload stays
+    unparseable (the relational twin's PERMISSIVE NULL row)."""
+    import json
+    import re
+
+    s = (raw or "").strip(" `\njson")
+    s = re.sub(r",\s*([}\]])", r"\1", s)
+    if '"' not in s:
+        s = re.sub(r"([{\[,:]\s*)'", r'\1"', s)
+        s = re.sub(r"'(\s*[}\],:])", r'"\1', s)
+    try:
+        return json.loads(s)
+    except ValueError:
+        return None
+
+
 def formatted_lines_expr(lines: Column) -> Column:
     """A8: ``"Line {i+1}: {line}\\n------\\n"`` blocks over a line array
     (``src/label_lines_with_LLM.py:111-114``)."""

@@ -10,10 +10,12 @@ Spark-native for users running open-vocab labeling:
 - ``consolidate_labels`` — hashed char-trigram embeddings (the same
   deterministic machinery as the langid scorer), MLlib BisectingKMeans,
   medoid per cluster (the label closest to its center), replacement map.
-  The reference's LLM-review step (``:234-271``) is intentionally out of
-  scope — the map is returned for human/LLM review instead of mutating
-  past results (its retroactive-rewrite pattern, ``:326-339``, does not
-  exist here).
+  The reference's LLM-review step (``:234-271``) plugs in through
+  ``review_fn`` / ``review_synonym_groups`` (r8) — the reviewer may
+  rename, split or merge medoid groups; the model call itself is the one
+  pluggable seam, exactly as in ``teacher.label_lines_with_teacher``.
+  The retroactive-rewrite pattern (``:326-339``) still does not exist
+  here: the map is applied forward, never mutating past results.
 - ``apply_label_map`` — J3 broadcast lookup replacement
   (``src/label_lines_with_LLM.py:311-324``).
 - ``class_weights`` — G5 balanced weights
@@ -42,9 +44,20 @@ def _label_vectors(labels: list[str]) -> np.ndarray:
 
 
 def consolidate_labels(
-    spark: SparkSession, labels: list[str], n_clusters: int, seed: int = 42
+    spark: SparkSession,
+    labels: list[str],
+    n_clusters: int,
+    seed: int = 42,
+    review_fn=None,
 ) -> dict[str, str]:
-    """Cluster synonym-ish labels; return {label: medoid_label}."""
+    """Cluster synonym-ish labels; return {label: replacement}.
+
+    Without ``review_fn`` the replacement is the cluster medoid (the
+    r6 behavior).  With it, the medoid-keyed groups additionally go
+    through the reference's LLM-review step
+    (``evaluate_synonym_candidates``, src/label_lines_with_LLM.py:234-271)
+    via ``review_synonym_groups`` — the reviewer may rename, split or
+    merge groups, and labels land on their reviewed group name."""
     from pyspark.ml.clustering import BisectingKMeans
     from pyspark.ml.linalg import Vectors
 
@@ -65,7 +78,7 @@ def consolidate_labels(
     for r in pred:
         by_cluster.setdefault(r["prediction"], []).append(r["label"])
     idx = {lab: i for i, lab in enumerate(labels)}
-    mapping: dict[str, str] = {}
+    groups: dict[str, list[str]] = {}
     for c, members in by_cluster.items():
         center = np.asarray(centers[c])
         # medoid = member closest to the center; ties → lexicographic
@@ -73,9 +86,101 @@ def consolidate_labels(
             members,
             key=lambda lab: (float(np.linalg.norm(dense[idx[lab]] - center)), lab),
         )
+        groups[medoid] = members
+    if review_fn is not None:
+        groups = review_synonym_groups(groups, review_fn)
+    # identity fallback for labels the (reviewed) groups no longer cover
+    mapping: dict[str, str] = {lab: lab for lab in labels}
+    for name, members in groups.items():
         for lab in members:
-            mapping[lab] = medoid
+            mapping[lab] = name
     return mapping
+
+
+def review_synonym_groups(
+    groups: dict[str, list[str]],
+    review_fn,
+) -> dict[str, list[str]]:
+    """M3's review step (``evaluate_synonym_candidates``, reference
+    src/label_lines_with_LLM.py:234-271) with a PLUGGABLE reviewer —
+    same seam pattern as teacher.label_lines_with_teacher:
+
+    - single-member groups skip review entirely (ref :238-241);
+    - each multi-member group renders the verbatim synonyms prompt
+      (Name/Words anchors, ``str(list)`` formatting — byte-compatible
+      with ``prompts.synonyms`` + ``format_input(task='synonyms')``);
+    - ``review_fn(prompts)`` returns one raw model output per group,
+      parsed through the Python A7 twin (strip + repair + loads,
+      ``llmprep.parse_llm_output_py``) — the reviewer may rename, split
+      or merge groups by returning ``{group_name: [members...]}``;
+    - outputs dict-merge with extend (ref :254-263), then single-member
+      groups fold in with set-dedup (ref :266-273).
+
+    Driver-side by design: the group table is label-vocabulary sized
+    (bounded by the same guard policy as every vocab collect), never
+    corpus sized.  Unparseable reviewer output drops that group's
+    reassignments — its labels fall back to identity, the conservative
+    direction."""
+    from quality_filter.llmprep import load_verbatim_template, parse_llm_output_py
+
+    single = {k: v for k, v in groups.items() if len(v) == 1}
+    multi = {k: v for k, v in groups.items() if len(v) > 1}
+    generated: dict[str, list[str]] = {}
+    if multi:
+        tmpl = load_verbatim_template("synonyms")
+        names = list(multi)
+        prompts = [
+            tmpl.replace("__GROUP_NAME__", str(k)).replace(
+                "__SYNONYMS__", str(multi[k])
+            )
+            for k in names
+        ]
+        raw = list(review_fn(prompts))
+        if len(raw) != len(prompts):
+            raise ValueError(
+                f"review_fn returned {len(raw)} outputs for "
+                f"{len(prompts)} groups"
+            )
+        for out in raw:
+            parsed = parse_llm_output_py(out)
+            if not isinstance(parsed, dict):
+                continue  # unparseable → group falls back to identity
+            for key, value in parsed.items():
+                if not isinstance(value, list):
+                    continue
+                members = [str(v) for v in value]
+                if key in generated:
+                    generated[key].extend(members)
+                else:
+                    generated[key] = members
+    final: dict[str, list[str]] = {}
+    for key, value in {**generated, **single}.items():
+        if key in final:
+            final[key] = sorted(set(final[key] + value))
+        else:
+            final[key] = value
+    return final
+
+
+def fake_accepting_reviewer(prompts: list[str]) -> list[str]:
+    """Deterministic review backend: accepts every candidate group as-is
+    (scrapes the Name/Words anchors back out of the prompt), answering in
+    the same fenced JSON a chatty guided-decode model produces.  The
+    shipped default for tests and replays; a vLLM/HTTP reviewer slots in
+    with the same signature."""
+    import ast as _ast
+    import json
+    import re
+
+    anchor = re.compile(r"Name: (.*)\nWords:\n(\[.*?\])<\|eot_id\|>", re.S)
+    outs = []
+    for p in prompts:
+        m = anchor.findall(p)[-1]  # last occurrence = the payload block
+        name, members = m[0], _ast.literal_eval(m[1])
+        outs.append(
+            "```json\n" + json.dumps({name: members}, ensure_ascii=False) + "\n```"
+        )
+    return outs
 
 
 def apply_label_map(

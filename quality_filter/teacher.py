@@ -43,6 +43,21 @@ from pyspark.sql import functions as F
 from quality_filter.labels import LABELS
 
 
+def _even_batch_index(pos: Column, n: Column, batch_size: int) -> Column:
+    """Batch index of 0-based position ``pos`` among ``n`` lines under the
+    reference's EVEN split (``batched``, ref :130-132 —
+    ``np.array_split(lines, ceil(n/batch_size))``): nb = ceil(n/B)
+    batches, the first n % nb of size n//nb + 1, the rest of size n//nb.
+    Pinned against np.array_split across sizes in tests/test_teacher.py."""
+    nb = F.ceil(n / F.lit(batch_size))
+    q = F.floor(n / nb)
+    r = n % nb
+    cut = r * (q + 1)  # positions below `cut` sit in the size-(q+1) batches
+    return F.when(pos < cut, F.floor(pos / (q + 1))).otherwise(
+        r + F.floor((pos - cut) / q)
+    ).cast("int")
+
+
 def label_lines_with_teacher(
     lines: DataFrame,
     generate_fn: Callable[[list[str]], Iterable[str]],
@@ -80,15 +95,23 @@ def label_lines_with_teacher(
     valid = list(LABELS) if valid_labels is None else list(valid_labels)
     ensure_shipped(lines.sparkSession)
 
-    # -- 1. even batches per document (batch = position // lines_per_batch,
-    # positions by idx order within the document)
+    # -- 1. EVEN batches per document (ref ``batched``, :130-132:
+    # np.array_split(lines, ceil(n/batch_size)) — nb = ceil(n/B) batches,
+    # the first n % nb of size n//nb + 1, the rest of size n//nb; a
+    # fixed-size chunking would leave a runt last batch instead)
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(idx_col)
     pos = (F.row_number().over(w) - 1).alias("_pos")
-    batched = lines.select(
-        F.col(id_col), F.col(idx_col), F.col(text_col), pos
-    ).withColumn("_batch", (F.col("_pos") / lines_per_batch).cast("int"))
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("_n")
+    batched = (
+        lines.select(F.col(id_col), F.col(idx_col), F.col(text_col), pos, n)
+        .withColumn(
+            "_batch",
+            _even_batch_index(F.col("_pos"), F.col("_n"), lines_per_batch),
+        )
+        .drop("_n")
+    )
     grouped = (
         batched.groupBy(id_col, "_batch")
         .agg(

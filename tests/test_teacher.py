@@ -95,3 +95,100 @@ def test_bad_args_raise(spark):
         label_lines_with_teacher(lines, lambda p: p, prompt="vllm")
     with pytest.raises(ValueError, match="lines_per_batch"):
         label_lines_with_teacher(lines, lambda p: p, lines_per_batch=0)
+
+
+def test_even_batching_matches_array_split(spark):
+    """_even_batch_index == np.array_split group sizes for every (n, B)
+    in a dense grid — the reference's `batched` semantics exactly."""
+    import numpy as np
+
+    rows = [(n, p) for n in range(1, 61) for p in range(n)]
+    df = spark.createDataFrame(rows, "n long, pos long")
+    from quality_filter.teacher import _even_batch_index
+
+    for B in (1, 3, 7, 20):
+        got = {}
+        for r in df.select(
+            "n", "pos", _even_batch_index(F.col("pos"), F.col("n"), B).alias("b")
+        ).collect():
+            got.setdefault(r["n"], {}).setdefault(r["b"], 0)
+            got[r["n"]][r["b"]] += 1
+        for n in range(1, 61):
+            import math
+
+            want = [len(c) for c in np.array_split(range(n), math.ceil(n / B))]
+            have = [got[n][i] for i in sorted(got[n])]
+            assert have == want, (n, B, have, want)
+
+
+def test_synonym_review_seam(spark):
+    """M3 review step: accepting reviewer keeps medoid groups; a
+    renaming/splitting reviewer re-keys labels; unparseable review output
+    falls back to identity for that group only."""
+    from quality_filter.llmprep import load_verbatim_template
+    from quality_filter.taxonomy import (
+        fake_accepting_reviewer,
+        review_synonym_groups,
+    )
+
+    groups = {
+        "spam": ["spam", "advertising", "promotional"],
+        "contact": ["contact", "contact info"],
+        "legal": ["legal"],  # single-member: must skip review entirely
+    }
+    calls = []
+
+    def spying_reviewer(prompts):
+        calls.extend(prompts)
+        return fake_accepting_reviewer(prompts)
+
+    out = review_synonym_groups(groups, spying_reviewer)
+    assert out == {
+        "spam": ["spam", "advertising", "promotional"],
+        "contact": ["contact", "contact info"],
+        "legal": ["legal"],
+    }
+    assert len(calls) == 2  # single-member group never hit the reviewer
+    tmpl = load_verbatim_template("synonyms")
+    assert calls[0].startswith(tmpl.split("__GROUP_NAME__")[0])
+
+    def renaming_reviewer(prompts):
+        # split the spam group, rename contact — the LLM's prerogative
+        outs = []
+        for p in prompts:
+            if "'advertising'" in p:
+                outs.append(
+                    '{"Promotional & Spam Content": ["spam", "advertising"],'
+                    ' "Ads": ["promotional"],}'  # trailing comma → repair path
+                )
+            else:
+                outs.append("not even json {{{")
+        return outs
+
+    out2 = review_synonym_groups(groups, renaming_reviewer)
+    assert out2["Promotional & Spam Content"] == ["spam", "advertising"]
+    assert out2["Ads"] == ["promotional"]
+    assert "contact" not in out2  # unparseable → group dropped (identity)
+    assert out2["legal"] == ["legal"]
+
+
+def test_consolidate_labels_with_review(spark):
+    from quality_filter.taxonomy import consolidate_labels, fake_accepting_reviewer
+
+    labels = ["spam", "spam content", "contact", "contact info", "legal"]
+    base = consolidate_labels(spark, labels, n_clusters=3)
+    reviewed = consolidate_labels(
+        spark, labels, n_clusters=3, review_fn=fake_accepting_reviewer
+    )
+    # the accepting reviewer must reproduce the medoid mapping exactly
+    assert reviewed == base
+    assert set(reviewed) == set(labels)
+
+
+def test_review_count_mismatch_raises(spark):
+    import pytest
+
+    from quality_filter.taxonomy import review_synonym_groups
+
+    with pytest.raises(ValueError, match="review_fn returned"):
+        review_synonym_groups({"a": ["a", "b"]}, lambda ps: [])
