@@ -16,6 +16,9 @@ can run the same jobs here:
         [--benchmark-path BENCH] [--no-c4] [--no-gopher] \
         [--paragraph-dedup] [--substring-k K] [--jaccard-threshold 0.8] \
         [--verify-exact]          # document tables, prints stage counts
+    python -m quality_filter.cli label   --data-path LINES --save-path OUT \
+        [--teacher module:generate_fn] [--prompt verbatim|condensed] \
+        [--lines-per-batch 20] [--vocab-path TSV]   # M2 teacher loop
 
 ``--data-path`` accepts parquet dirs or ``*.jsonl[.zst]``
 (``src/classifier_inference_pipeline.py:144-151`` polymorphism);
@@ -114,6 +117,32 @@ def main(argv: list[str] | None = None) -> None:
     p_qt.add_argument("--label-col", type=str, default="keep")
     p_qt.add_argument("--cores", type=int, default=None)
 
+    p_lab = sub.add_parser(
+        "label",
+        help="teacher-label a line table (M2 loop; --teacher mod:fn "
+        "plugs in the model backend, default = the deterministic fake)",
+    )
+    p_lab.add_argument("--data-path", type=str, required=True)
+    p_lab.add_argument("--save-path", type=str, required=True)
+    p_lab.add_argument("--id-col", type=str, default="doc_id")
+    p_lab.add_argument("--idx-col", type=str, default="line_idx")
+    p_lab.add_argument("--text-col", type=str, default="text")
+    p_lab.add_argument("--language", type=str, default="English")
+    p_lab.add_argument("--lines-per-batch", type=int, default=20)
+    p_lab.add_argument(
+        "--prompt", type=str, default="verbatim",
+        choices=("verbatim", "condensed"),
+    )
+    p_lab.add_argument(
+        "--teacher", type=str, default="quality_filter.teacher:fake_structured_teacher",
+        help="import path 'module:function' of the generate backend",
+    )
+    p_lab.add_argument(
+        "--vocab-path", type=str, default=None,
+        help="also write the label-frequency TSV side table (S9)",
+    )
+    p_lab.add_argument("--cores", type=int, default=None)
+
     p_qs = sub.add_parser(
         "quality-score",
         help="score documents with a saved quality classifier",
@@ -143,6 +172,42 @@ def main(argv: list[str] | None = None) -> None:
                 args.save_path
             )
             print(f"scored: {args.save_path}")
+        if not preexisting:
+            spark.stop()
+        return
+    if args.cmd == "label":
+        from importlib import import_module
+
+        from pyspark.sql import SparkSession
+
+        from quality_filter.session import get_spark as _gs
+        from quality_filter.teacher import label_lines_with_teacher
+
+        mod_name, _, fn_name = args.teacher.partition(":")
+        generate_fn = getattr(import_module(mod_name), fn_name)
+        preexisting = SparkSession.getActiveSession() is not None
+        spark = _gs("quality_filter_cli", cores=args.cores)
+        lines = spark.read.parquet(args.data_path)
+        labeled = label_lines_with_teacher(
+            lines,
+            generate_fn,
+            id_col=args.id_col,
+            idx_col=args.idx_col,
+            text_col=args.text_col,
+            language=args.language,
+            lines_per_batch=args.lines_per_batch,
+            prompt=args.prompt,
+        )
+        labeled.write.mode("overwrite").parquet(args.save_path)
+        print(f"labeled: {args.save_path}")
+        if args.vocab_path:
+            from quality_filter.io import write_tsv_freq
+
+            write_tsv_freq(
+                spark.read.parquet(args.save_path), args.vocab_path,
+                label_col="label",
+            )
+            print(f"vocab: {args.vocab_path}")
         if not preexisting:
             spark.stop()
         return

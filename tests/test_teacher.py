@@ -192,3 +192,30 @@ def test_review_count_mismatch_raises(spark):
 
     with pytest.raises(ValueError, match="review_fn returned"):
         review_synonym_groups({"a": ["a", "b"]}, lambda ps: [])
+
+
+def test_cli_label_subcommand(spark, tmp_path):
+    """End-to-end CLI surface: parquet lines in → labeled parquet +
+    vocab TSV out, with the default deterministic teacher."""
+    from quality_filter.cli import main
+    from quality_filter.teacher import fake_teacher_label_expr
+
+    lines = _lines(spark, n_docs=4)
+    inp = str(tmp_path / "lines.parquet")
+    outp = str(tmp_path / "labeled.parquet")
+    vocab = str(tmp_path / "vocab.tsv")
+    lines.write.parquet(inp)
+    main([
+        "label", "--data-path", inp, "--save-path", outp,
+        "--prompt", "condensed", "--vocab-path", vocab,
+    ])
+    got = spark.read.parquet(outp)
+    expected = lines.select(
+        "doc_id", "line_idx", "text",
+        fake_teacher_label_expr(F.col("text")).alias("label"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    tsv = spark.read.option("sep", "\t").csv(vocab).collect()
+    assert sum(int(r["_c1"]) for r in tsv) == lines.count()
