@@ -21,15 +21,19 @@ shape:
   5. line-number alignment with the Clean default and invalid-label
      coercion             (``format_results``, ref :341-366)
 
-Scale shape: ONE groupBy((id, batch)) to assemble prompt batches (rows
-at batch grain — thousands of lines collapse to one row per prompt), a
-partition-preserving ``mapInPandas`` node for the generate call (the
-same plan-node pattern as the fused gate: a model/HTTP client is
-per-worker state, never broadcast), then narrow projections: the parse,
-alignment (posexplode over the carried arrays — no join back), and
-coercion are pure Catalyst.  At 100 TB the expensive resource is the
-teacher itself; the loop adds one batch-grain shuffle and zero
-corpus-grain exchanges.
+Scale shape: a per-document position window followed by a
+groupBy((id, batch)) — two exchanges, deliberately NOT fused into a
+single groupBy(id) + array-slice explode: that shape would materialize
+every line of a document in ONE aggregation row (unbounded state on a
+10^6-line page), while here the only materialized rows are
+batch-bounded (≤ lines_per_batch lines each), the same skew story as
+``pipeline.reassemble_salted``.  Then a partition-preserving
+``mapInPandas`` node for the generate call (the same plan-node pattern
+as the fused gate: a model/HTTP client is per-worker state, never
+broadcast), and narrow projections: the parse, alignment (posexplode
+over the carried arrays — no join back), and coercion are pure
+Catalyst.  At 100 TB the expensive resource is the teacher itself; the
+loop adds two batch/line-grain exchanges and zero corpus-grain joins.
 """
 
 from __future__ import annotations
