@@ -500,6 +500,32 @@ def main() -> None:
         ),
     ))
 
+    from quality_filter.teacher import (
+        fake_structured_teacher,
+        label_lines_with_teacher,
+    )
+
+    tlines = turns.select("doc_id", F.col("turn_idx").alias("line_idx"), "text")
+    labeled = label_lines_with_teacher(tlines, fake_structured_teacher)
+    labeled.count()
+    sections.append((
+        "Teacher-labeling loop (M2, pluggable generate node, r8)",
+        "Two batch/line-grain exchanges (position window + "
+        "groupBy((id, batch)) — every materialized row stays "
+        "batch-bounded, unlike a one-exchange whole-document "
+        "collect_list), ONE MapInPandas node for the generate call, then "
+        "pure Catalyst: A7 strip/repair/from_json, posexplode alignment "
+        "(no join back), taxonomy coercion.  Zero corpus-grain joins — "
+        "at 100 TB the teacher model is the cost, not this plan.",
+        "\n".join(
+            l for l in plan_of(labeled).splitlines()
+            if any(k in l for k in (
+                "MapInPandas", "Window", "Exchange", "Aggregate",
+                "Generate", "Project",
+            ))
+        ),
+    ))
+
     out = ["# BENCH/PLANS.md — physical-plan evidence\n"]
     for title, note, plan in sections:
         out += [f"## {title}\n", note + "\n", "```", plan, "```", ""]
