@@ -43,9 +43,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def derive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic doc→turn derivation (C1 analog: explode to line grain,
-    ``posexplode(split(...))`` family)."""
+    ``posexplode(split(...))`` family).
+
+    ``split(text)`` is hoisted into its own projection under the explode
+    (r9): Catalyst re-evaluates a transform lambda's CAPTURED expressions
+    once per element, so the inline split was O(words²/W) per document —
+    the same bug class the r8 shingle hoist fixed (see _word_shingles3);
+    the Generate is the barrier that keeps CollapseProject from
+    re-inlining it."""
     docs = _docs(spark, sf_dir)
-    w = F.split(F.col("text"), " ")
+    pre = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        "doc_id",
+        F.col("lang").alias("doc_lang"),
+        F.split(F.col("text"), " ").alias("_w"),
+    )
+    w = F.col("_w")
     n = F.ceil(F.size(w) / F.lit(float(W))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -54,10 +67,10 @@ def derive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(w, i * W + 1, W), " ").alias("txt"),
         ),
     )
-    t = docs.select(
-        F.col("doc_id").cast("string").alias("conv_id"),
+    t = pre.select(
+        "conv_id",
         "doc_id",
-        F.col("lang").alias("doc_lang"),
+        "doc_lang",
         F.explode(chunks).alias("ch"),
     )
     return t.select(
@@ -590,7 +603,12 @@ def q_repetition_stats(spark, sf_dir):
     distinct gram — the standard layout that survives 100 TB (same shape
     as the minhash signature pass)."""
     docs = _docs(spark, sf_dir)
-    w = F.split("text", " ")
+    # hoist split(text) into its own projection under the explode (r9):
+    # the transform lambdas below capture the word array, and Catalyst
+    # re-evaluates captured expressions once per ELEMENT — the inline
+    # split was O(words²) per document (see _word_shingles3)
+    words = docs.select("doc_id", F.split("text", " ").alias("_w"))
+    w = F.col("_w")
 
     def grams(n: int):
         cnt = F.size(w) - (n - 1)
@@ -604,7 +622,7 @@ def q_repetition_stats(spark, sf_dir):
             ),
         ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
-    exploded = docs.select(
+    exploded = words.select(
         "doc_id", F.explode(F.concat(grams(2), grams(5))).alias("gr")
     ).select(
         "doc_id",
@@ -2324,11 +2342,7 @@ def _structured_docs(spark, sf_dir):
         f"CASE WHEN doc_id % 2 = 0 THEN concat({_W_WORDS}, {_STOP_SUFFIX}) "
         f"ELSE {_W_WORDS} END"
     )
-    step = d.selectExpr("doc_id", f"{words} AS words").selectExpr(
-        "doc_id",
-        "words",
-        "greatest(1, cast(ceil(size(words) / 8.0) AS int)) AS nlines",
-    )
+    step = d.selectExpr("doc_id", f"{words} AS words")
     body = (
         "concat("
         " CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END,"
@@ -2337,15 +2351,37 @@ def _structured_docs(spark, sf_dir):
         "      WHEN (doc_id + i) % 3 = 0 THEN ''"
         "      ELSE '.' END)"
     )
+    # `words` is deliberately referenced TWICE in this one projection
+    # (sequence bound + the lambda body): CollapseProject leaves a
+    # non-cheap alias materialized only when it is multiply referenced,
+    # and the former single-reference `nlines` column let the whole
+    # filter(split(text)) tree be inlined INTO the transform lambda —
+    # captured lambda expressions re-evaluate per element, making the
+    # world-builder O(words²/8) per document (r9; measured ~8× on the
+    # structured-world build at sf1.0).
     joined = (
-        f"array_join(transform(sequence(0, nlines - 1), i -> {body}), '\\n')"
+        "array_join(transform("
+        " sequence(0, greatest(1, cast(ceil(size(words) / 8.0) AS int)) - 1),"
+        f" i -> {body}), '\\n')"
     )
-    return step.selectExpr("doc_id", f"{joined} AS t").selectExpr(
+    out = step.selectExpr("doc_id", f"{joined} AS t").selectExpr(
         "doc_id",
         "CASE WHEN doc_id % 97 = 0 THEN concat(t, '\\n', '{ config }')"
         "     WHEN doc_id % 89 = 0 THEN concat(t, '\\n', 'lorem ipsum dolor sit amet.')"
         "     ELSE t END AS text",
     )
+    # localCheckpoint = pushdown/collapse BARRIER, not a cache (r9): the
+    # consumers of this world filter on columns derived from `text`
+    # (C4/Gopher gates, the qmodel margin band), and Catalyst's
+    # PushDownPredicates substitutes aliases into pushed predicates with
+    # no reference-count guard — each pushed predicate re-ran this whole
+    # interpreted HOF world-builder 3+ times per row (measured: the
+    # qmodel labeled build was 60 s at sf1.0 against 0.7 s for the world
+    # itself).  Materializing ~doc-table-sized rows once per invocation
+    # keeps every downstream operator reading attributes instead.  The
+    # world is still recomputed from the parquet input on every query
+    # invocation — nothing persists across runs.
+    return out.localCheckpoint()
 
 
 _D_WORDS = "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), w -> w <> '')"
@@ -3036,24 +3072,35 @@ def q_qmodel_train_score(spark, sf_dir):
     transform path (qmodel.score_quality).  The hashed output is the 0.5-
     thresholded PREDICTION, not the probability, so the stamp requires
     the learned boundary to land inside the planted margin band."""
-    from quality_filter.qmodel import score_quality, train_quality_classifier
-    from quality_filter.textstats import with_gopher_flags
+    from quality_filter.qmodel import (
+        doc_quality_features,
+        feature_cols,
+        score_quality,
+        train_quality_classifier,
+    )
 
-    feats = with_gopher_flags(_structured_docs(spark, sf_dir))
+    # r9: materialize the FULL prefixed feature set once and checkpoint
+    # THAT (doc_id + 11 doubles + keep — no text), so neither the scaler
+    # fit, the L-BFGS instance build nor the scoring pass ever re-runs
+    # the metric projection (a dozen interpreted split/filter HOF
+    # evaluations per row); train/score take the precomputed-feature
+    # fast path in qmodel.doc_quality_features.  The margin rule below
+    # is value-identical to the r8 formulation: _qf_word_count /
+    # _qf_stopword_hits are the same integers cast to double, and
+    # int→double promotion is exact in this range.
+    feats = doc_quality_features(_structured_docs(spark, sf_dir))
     s = (
-        F.lit(0.02) * F.col("word_count")
-        + F.lit(0.6) * F.col("stopword_hits")
-        - F.lit(8.0) * F.col("symbol_ratio")
+        F.lit(0.02) * F.col("_qf_word_count")
+        + F.lit(0.6) * F.col("_qf_stopword_hits")
+        - F.lit(8.0) * F.col("_qf_symbol_ratio")
     )
     labeled = (
         feats.withColumn("_s", s)
         .filter(F.abs(F.col("_s") - F.lit(_QM_C)) > _QM_EPS)
         .select(
-            "doc_id", "text", (F.col("_s") > _QM_C).cast("int").alias("keep")
+            "doc_id", *feature_cols(),
+            (F.col("_s") > _QM_C).cast("int").alias("keep"),
         )
-        # tiny table, many consumers: the scaler fit, LR's instance build
-        # and the scoring pass would each re-run the interpreted
-        # world-builder lineage otherwise
         .localCheckpoint()
     )
     # 40 L-BFGS iterations suffice for the margin-separated world (each
