@@ -8,6 +8,10 @@ added here leave existing rows' import closures untouched.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +119,23 @@ def _next_prime(n: int) -> int:
     return n
 
 
+def _gram_hashes(df, text_col: str, n: int, *keep):
+    """Explode documents into (``*keep``, a, b): one row per n-gram
+    instance with the two seeded xxhash64 digests, all in Catalyst."""
+    from quality_filter.cluster import _word_ngrams_from_words
+
+    grams = df.select(
+        *keep, F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        *keep, F.explode(_word_ngrams_from_words(F.col("_w"), n)).alias("_g")
+    )
+    return grams.select(
+        *keep,
+        F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_A)).alias("a"),
+        F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_B)).alias("b"),
+    )
+
+
 def _gram_positions(df, text_col: str, n: int, m_bits: int, k: int, *keep):
     """Explode documents into (``*keep``, a, b, pos): one row per n-gram
     per probe position, all hashing in Catalyst.
@@ -127,18 +148,7 @@ def _gram_positions(df, text_col: str, n: int, m_bits: int, k: int, *keep):
     chance instead of 2^-k; prime m makes every step a unit so all k
     positions are distinct.  No int64 overflow: a,b reduced first, so
     the sum is < (k+1)·m."""
-    from quality_filter.cluster import _word_ngrams_from_words
-
-    grams = df.select(
-        *keep, F.split(F.col(text_col), " ").alias("_w")
-    ).select(
-        *keep, F.explode(_word_ngrams_from_words(F.col("_w"), n)).alias("_g")
-    )
-    hashed = grams.select(
-        *keep,
-        F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_A)).alias("a"),
-        F.xxhash64(F.col("_g"), F.lit(_BLOOM_SEED_B)).alias("b"),
-    )
+    hashed = _gram_hashes(df, text_col, n, *keep)
     am = F.pmod(F.col("a"), F.lit(m_bits))
     bm = F.pmod(F.col("b"), F.lit(m_bits - 1)) + F.lit(1)  # step in [1, m-1]
     pos = F.array(*[
@@ -194,40 +204,112 @@ def build_decontamination_filter(
     return bits, {"m": m_bits, "k": k, "n": n}
 
 
+# Past this bitset size the vectorized probe's driver collect + numpy
+# broadcast is no longer obviously safe (2^33 bits = 1 GiB of words);
+# fall back to the pure-JVM position-explode join, which never
+# materializes the bitset outside Spark.
+_VECTOR_PROBE_MAX_BITS = 1 << 33
+
+
+def _probe_hit_udf(bits: DataFrame, meta: dict):
+    """Build the vectorized membership predicate: the bitset words are
+    collected once (bounded by ``_VECTOR_PROBE_MAX_BITS``) into a numpy
+    uint64 array, broadcast, and probed by a batched Arrow UDF that
+    computes the SAME Kirsch-Mitzenmacher positions as
+    ``_gram_positions`` (numpy's ``%`` is floored modulo — identical to
+    Catalyst ``pmod`` for the positive prime m) with an early exit once
+    every gram in the batch has a cleared bit."""
+    m, k = int(meta["m"]), int(meta["k"])
+    wlen = (m + 63) // 64
+    words = np.zeros(wlen, dtype=np.uint64)
+    for r in bits.select("w", "mask").collect():
+        words[int(r["w"])] = np.uint64(int(r["mask"]) & 0xFFFFFFFFFFFFFFFF)
+    bc = bits.sparkSession.sparkContext.broadcast(words)
+
+    @F.pandas_udf("boolean")
+    def _hit(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        wv = bc.value
+        one = np.uint64(1)
+        for a, b in it:
+            av = a.to_numpy(dtype=np.int64, copy=False)
+            bv = b.to_numpy(dtype=np.int64, copy=False)
+            am = av % m
+            bm = bv % (m - 1) + 1
+            ok = np.ones(av.shape[0], dtype=bool)
+            for i in range(k):
+                pos = (am + i * bm) % m
+                bit = (wv[pos >> 6] >> (pos & 63).astype(np.uint64)) & one
+                ok &= bit.astype(bool)
+                if not ok.any():
+                    break  # sound: ok is monotone non-increasing
+            yield pd.Series(ok)
+
+    return _hit
+
+
 def decontaminate_bloom(
     df: DataFrame,
     bits: DataFrame,
     meta: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    probe_impl: str = "auto",
 ) -> DataFrame:
     """Flag training documents sharing any n-gram with the filtered
     benchmark: (``id_col``, n_overlap, contaminated) — the same output
     contract as ``cluster.decontaminate``, where n_overlap counts
     distinct (by hash pair) flagged grams.  Superset guarantee: every
-    doc the exact operator flags is flagged here."""
-    pos = _gram_positions(
-        df, text_col, meta["n"], meta["m"], meta["k"], F.col(id_col)
-    )
-    probed = pos.join(
-        F.broadcast(bits), F.shiftrightunsigned(pos["pos"], 6) == bits["w"], "left"
-    )
-    hit = F.when(
-        F.col("mask").isNotNull(),
-        F.expr(
-            "pmod(shiftrightunsigned(mask, CAST(pmod(pos, 64) AS INT)), 2)"
-        ) == 1,
-    ).otherwise(F.lit(False))
-    per_gram = (
-        probed.select(F.col(id_col), "a", "b", hit.alias("_hit"))
-        .groupBy(id_col, "a", "b")
-        .agg(F.min("_hit").alias("_present"))  # all k probed bits set
-    )
-    hits = (
-        per_gram.filter(F.col("_present"))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
+    doc the exact operator flags is flagged here.
+
+    ``probe_impl`` (r9):
+
+    * ``'vector'`` — ONE row per gram instance through a batched Arrow
+      predicate against the broadcast numpy bitset; only *hit* grams
+      reach the per-doc aggregate, so the exchange carries the (tiny)
+      contaminated gram set rather than every (doc, gram, position) row.
+      The former join probe exploded k rows per gram (k=17..33) through
+      a broadcast join + full-width aggregate — measured 10× slower at
+      sf1.0 for identical output.
+    * ``'join'`` — the pure-JVM position-explode broadcast join; never
+      materializes the bitset outside Spark, so it has no size bound.
+    * ``'auto'`` — 'vector' when the bitset fits comfortably on the
+      driver (m <= 2^33 bits = 1 GiB), else 'join'.
+    """
+    if probe_impl == "auto":
+        probe_impl = (
+            "vector" if int(meta["m"]) <= _VECTOR_PROBE_MAX_BITS else "join"
+        )
+    if probe_impl == "vector":
+        hashed = _gram_hashes(df, text_col, meta["n"], F.col(id_col))
+        hit_grams = hashed.filter(_probe_hit_udf(bits, meta)(F.col("a"), F.col("b")))
+        hits = hit_grams.groupBy(id_col).agg(
+            F.count_distinct(F.struct("a", "b")).alias("n_overlap")
+        )
+    elif probe_impl == "join":
+        pos = _gram_positions(
+            df, text_col, meta["n"], meta["m"], meta["k"], F.col(id_col)
+        )
+        probed = pos.join(
+            F.broadcast(bits), F.shiftrightunsigned(pos["pos"], 6) == bits["w"], "left"
+        )
+        hit = F.when(
+            F.col("mask").isNotNull(),
+            F.expr(
+                "pmod(shiftrightunsigned(mask, CAST(pmod(pos, 64) AS INT)), 2)"
+            ) == 1,
+        ).otherwise(F.lit(False))
+        per_gram = (
+            probed.select(F.col(id_col), "a", "b", hit.alias("_hit"))
+            .groupBy(id_col, "a", "b")
+            .agg(F.min("_hit").alias("_present"))  # all k probed bits set
+        )
+        hits = (
+            per_gram.filter(F.col("_present"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+    else:
+        raise ValueError(f"unknown probe_impl {probe_impl!r}")
     return (
         df.select(id_col)
         .join(hits, id_col, "left")
@@ -239,17 +321,38 @@ def decontaminate_bloom(
     )
 
 
+# Bit-positioning scheme version of the persisted filter.  v2 = prime m
+# + Kirsch-Mitzenmacher step forced into [1, m-1] (r8); filters written
+# by the pre-r8 composite-m scheme carry no version column and compute
+# DIFFERENT bit positions — probing one with current code would produce
+# silent false negatives, breaking the no-false-negative guarantee, so
+# the reader rejects them (ADVICE r8 #1).
+_BLOOM_SCHEME_VERSION = 2
+
+
 def write_decontamination_filter(bits: DataFrame, meta: dict, path: str) -> None:
     """Persist the filter fully distributed: bits as parquet, meta as a
-    one-row parquet table (mirrors the perplexity LM artifact layout)."""
+    one-row parquet table (mirrors the perplexity LM artifact layout).
+    The meta carries the hash-scheme version so a reader can never
+    silently probe a filter built under different bit positioning."""
     bits.write.mode("overwrite").parquet(f"{path}/bits")
     spark = bits.sparkSession
     spark.createDataFrame(
-        [(int(meta["m"]), int(meta["k"]), int(meta["n"]))], "m long, k int, n int"
+        [(int(meta["m"]), int(meta["k"]), int(meta["n"]), _BLOOM_SCHEME_VERSION)],
+        "m long, k int, n int, v int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_decontamination_filter(spark, path: str) -> tuple[DataFrame, dict]:
     bits = spark.read.parquet(f"{path}/bits")
-    row = spark.read.parquet(f"{path}/meta").collect()[0]
+    meta_df = spark.read.parquet(f"{path}/meta")
+    row = meta_df.collect()[0]
+    v = row["v"] if "v" in meta_df.columns else 1
+    if v != _BLOOM_SCHEME_VERSION:
+        raise ValueError(
+            f"decontamination filter at {path!r} uses bit-positioning "
+            f"scheme v{v}, this build probes v{_BLOOM_SCHEME_VERSION}: "
+            "probing it would silently produce false negatives — rebuild "
+            "the filter with build_decontamination_filter"
+        )
     return bits, {"m": row["m"], "k": row["k"], "n": row["n"]}

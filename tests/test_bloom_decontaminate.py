@@ -71,7 +71,31 @@ def test_bloom_filter_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_bloom_filter_reader_rejects_old_scheme(spark, tmp_path):
+    """A filter persisted under a different bit-positioning scheme (or a
+    pre-versioning one, read as v1) must be rejected, not silently
+    probed: different positions mean false NEGATIVES (ADVICE r8 #1)."""
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        read_decontamination_filter,
+        write_decontamination_filter,
+    )
+
+    _, bench = _world(spark)
+    bits, meta = build_decontamination_filter(bench)
+    path = str(tmp_path / "bloomflt_old")
+    write_decontamination_filter(bits, meta, path)
+    # simulate a pre-r8 filter: meta row without the version column
+    spark.createDataFrame(
+        [(int(meta["m"]), int(meta["k"]), int(meta["n"]))], "m long, k int, n int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="scheme v1"):
+        read_decontamination_filter(spark, path)
+
+
 def test_bloom_probe_plan_is_broadcast_jvm_only(spark):
+    """The 'join' probe (the unbounded-bitset fallback) stays pure-JVM:
+    position explode + broadcast hash join, no Python nodes."""
     from quality_filter.curation import (
         build_decontamination_filter,
         decontaminate_bloom,
@@ -80,12 +104,38 @@ def test_bloom_probe_plan_is_broadcast_jvm_only(spark):
     docs, bench = _world(spark)
     bits, meta = build_decontamination_filter(bench)
     plan = (
-        decontaminate_bloom(docs, bits, meta)
+        decontaminate_bloom(docs, bits, meta, probe_impl="join")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
     # all-JVM operator: no Python evaluation nodes anywhere
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_bloom_vector_probe_plan_and_parity(spark):
+    """The r9 'vector' probe (the default at driver-safe bitset sizes)
+    replaces the k-way position explode + join with ONE batched Arrow
+    predicate per gram row: the plan carries an ArrowEvalPython node, no
+    bitset join, and no position Generate; output is row-identical to
+    the join probe."""
+    from quality_filter.curation import (
+        build_decontamination_filter,
+        decontaminate_bloom,
+    )
+
+    docs, bench = _world(spark)
+    bits, meta = build_decontamination_filter(bench)
+    vec = decontaminate_bloom(docs, bits, meta, probe_impl="vector")
+    plan = vec._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastHashJoin" not in plan.split("ArrowEvalPython")[0]
+    a = sorted(map(tuple, vec.collect()))
+    b = sorted(
+        map(tuple, decontaminate_bloom(docs, bits, meta, probe_impl="join").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="probe_impl"):
+        decontaminate_bloom(docs, bits, meta, probe_impl="nope")
 
 
 def test_corpus_build_bloom_decontaminate_agrees(spark):
