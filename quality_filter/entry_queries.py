@@ -2035,10 +2035,14 @@ def q_multimodal_features(spark, sf_dir):
     def synth(batches):
         from quality_filter.entry_queries import _mm_payload
 
+        # payloads are a pure function of doc_id % 6 — build each residue's
+        # payload once per task instead of re-running the PNG/WAV synth
+        # (zlib compress per call) on every row (r9)
+        arms = [_mm_payload(r) for r in range(_MM_RESIDUES)]
         for pdf in batches:
             mods, payloads = [], []
             for d in pdf["doc_id"]:
-                modality, payload = _mm_payload(int(d) % _MM_RESIDUES)
+                modality, payload = arms[int(d) % _MM_RESIDUES]
                 mods.append(modality)
                 payloads.append(payload)
             yield pd.DataFrame(

@@ -208,11 +208,20 @@ def _real_features(modality: str, decoded, dim: int = FEATURE_DIM) -> np.ndarray
 
 def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """binary payload → ``feature`` (array<float>) via mapInPandas.
-    Partition-preserving, Arrow-batched; one decode call per row inside
-    the batch loop (codecs are not vectorizable).  With
-    ``use_real_codec`` the stdlib-decodable formats (P6 PPM, PCM WAV)
-    yield content-derived features; undecodable payloads fall back to the
-    digest-seeded stand-in so the operator stays total."""
+    Partition-preserving, Arrow-batched.  With ``use_real_codec`` the
+    stdlib-decodable formats (P6 PPM, PCM WAV) yield content-derived
+    features; undecodable payloads fall back to the digest-seeded
+    stand-in so the operator stays total.
+
+    Codecs are not vectorizable, so the decode loop is per DISTINCT
+    payload per batch (r9): the feature vector is a pure deterministic
+    function of (modality, payload bytes), and real media corpora repeat
+    payloads heavily (site logos, shared thumbnails, re-uploads — the
+    same observation exact-dedup exploits), so each batch decodes every
+    distinct payload once and fans the vector back out.  The memo lives
+    and dies with the batch — per-task memory stays bounded by the
+    batch's distinct payload set, and nothing persists across batches,
+    tasks, or runs."""
     from quality_filter.shipping import ensure_shipped
 
     # the mapInPandas closure pickles by reference to this module — ship
@@ -225,25 +234,32 @@ def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     )
     cols = [f.name for f in out_schema.fields if f.name != "feature"]
 
+    def decode_one(modality: str, raw: bytes) -> list:
+        if use_real_codec:
+            # catch-all: a payload that *looks* decodable (P6/RIFF
+            # magic) but is truncated or corrupt raises ValueError /
+            # EOFError / wave.Error from the decoders — fall back to
+            # the digest featurizer so one bad media file can never
+            # kill the job (the operator is total by contract)
+            try:
+                return _real_features(modality, real_decode(modality, raw)).tolist()
+            except Exception:
+                pass
+        return _fake_features(raw).tolist()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            memo: dict[tuple[str, bytes], list] = {}
             feats = []
             for modality, payload in zip(pdf["modality"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                if use_real_codec:
-                    # catch-all: a payload that *looks* decodable (P6/RIFF
-                    # magic) but is truncated or corrupt raises ValueError /
-                    # EOFError / wave.Error from the decoders — fall back to
-                    # the digest featurizer so one bad media file can never
-                    # kill the job (the operator is total by contract)
-                    try:
-                        feats.append(_real_features(modality, real_decode(modality, raw)))
-                        continue
-                    except Exception:
-                        pass
-                feats.append(_fake_features(raw))
+                key = (modality, raw)
+                f = memo.get(key)
+                if f is None:
+                    f = memo[key] = decode_one(modality, raw)
+                feats.append(f)
             res = pdf[cols].copy()
-            res["feature"] = [f.tolist() for f in feats]
+            res["feature"] = feats
             yield res
 
     return df.mapInPandas(run, out_schema)
