@@ -37,8 +37,29 @@ from quality_filter.sqlgen import WORDS_PER_TURN
 W = WORDS_PER_TURN
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread (r9): the testdata parquet is a single
+    file with one row group, so Spark's split planning yields 1-2 scan
+    partitions and every narrow projection above it runs on one core —
+    at sf1.0 the turn/gram queries were measured ~10× slower than their
+    available parallelism.  Round-robin repartition to the session's
+    parallelism ONLY when the scan is under it; a production corpus with
+    thousands of splits passes through untouched (no shuffle added at
+    scale).  Rows whose floats could be summation-order-sensitive are
+    already partition-robust by construction (exact integer co-moments,
+    round-6/bround-9 — see quality_corr / doc_quality_corr docstrings)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def derive_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,7 +787,11 @@ def q_full_clean_reassemble(spark, sf_dir):
     """Flagship: real rules → filter 'all' → scrub → ordered reassembly."""
     t = derive_turns(spark, sf_dir)
     scored = score_turns(t)
-    kept = apply_filter_mode(scored, keep_by_label("all"))
+    # pushdown barrier (same idiom as clean_pipeline): without it the
+    # filter on `label` is substituted below the projection and the whole
+    # regex cascade runs twice per row
+    scored = scored.withColumn("_qf_barrier", F.monotonically_increasing_id())
+    kept = apply_filter_mode(scored, keep_by_label("all")).drop("_qf_barrier")
     scrubbed = kept.withColumn("scrubbed_text", scrub_expr(F.col("text")))
     return reassemble(scrubbed, "scrubbed_text").select("conv_id", "text", "n_turns")
 
@@ -872,7 +897,7 @@ def q_ann_cosine_top5(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for queries vec_id < 3 (ranks
     computed on round(cos, 6) with vec_id tiebreak for cross-engine float
     stability)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     from quality_filter.similarity import _dot, _norm
 
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -919,7 +944,7 @@ def q_ann_ivf_top5(spark, sf_dir):
     data-dependent, not oracle-expressible)."""
     from quality_filter.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
     out = ivf_topk(
         emb, queries, k=5, nlist=8, nprobe=8, seed=42, cos_round=6
@@ -1578,7 +1603,7 @@ def q_embedding_near_dups(spark, sf_dir):
     (random 64-dim pairs never reach cosine 0.99)."""
     from quality_filter.similarity import embedding_near_dups
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     base = emb.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
     copies = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
@@ -2244,7 +2269,7 @@ def q_semantic_dedup_docs(spark, sf_dir):
     semantics via exact all-pairs + recursive-CTE components."""
     from quality_filter.similarity import semantic_dedup
 
-    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+    base = _embeddings(spark, sf_dir).filter(
         F.col("vec_id") < 150
     ).select("vec_id", "embedding")
     dup = base.filter(F.col("vec_id") % 10 == 0)

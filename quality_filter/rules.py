@@ -157,11 +157,15 @@ def _rule_hits(text: Column, lowered: Column) -> list[tuple[str, Column]]:
     return hits
 
 
-def _defect_hit(text: Column) -> Column:
+def _defect_hit(text: Column, lowered: Column | None = None) -> Column:
     """True iff ANY labelling regex (or the symbol-run formatting
     trigger) matches — ∃-equivalent to the old combined-alternation
-    scan, evaluated as per-rule guarded probes."""
-    lowered = F.lower(text)
+    scan, evaluated as per-rule guarded probes.  Pass a materialized
+    ``lowered`` column when available: an inline ``lower(text)`` in the
+    guards' short-circuit OR chains is re-evaluated per probe (codegen
+    CSE skips conditional branches)."""
+    if lowered is None:
+        lowered = F.lower(text)
     hit = F.lit(False)
     for _, rule_hit in _rule_hits(text, lowered):
         hit = hit | rule_hit
@@ -262,12 +266,15 @@ def _ratio_formatting(feats: dict[str, Column]) -> Column:
     )
 
 
-def clean_fastpath_predicate(text: Column) -> Column:
+def clean_fastpath_predicate(
+    text: Column, lowered: Column | None = None
+) -> Column:
     """True iff the label would be Clean — as a compact standalone
     predicate (per-rule guarded probes + char-map counts).  Lets pipelines
     filter *before* scoring when the removal set is every non-Clean label
     (the cheap-filter-first rewrite anticipated in SURVEY.md §7.2):
-    pushed into the scan, it never materializes labels for dropped rows."""
+    pushed into the scan, it never materializes labels for dropped rows.
+    ``lowered``: see ``_defect_hit``."""
     feats = feature_columns(text)
     ratio_formatting = (
         (feats["n_nonspace"] == 0)
@@ -277,7 +284,7 @@ def clean_fastpath_predicate(text: Column) -> Column:
             & (feats["alpha_ratio"] < F.lit(ALPHA_RATIO_MIN))
         )
     )
-    return ~_defect_hit(text) & ~ratio_formatting
+    return ~_defect_hit(text, lowered) & ~ratio_formatting
 
 
 def score_clean_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -310,12 +317,18 @@ def score_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     column (no re-inlining — see ``_feature_cols_from``).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    base = _feature_cols_from(df, text)
+    # ``_lowered`` is materialized as a real column for the same reason
+    # the feature counts are (see _feature_cols_from): the ~60 guard
+    # ``contains`` probes sit in short-circuit OR chains, where codegen's
+    # subexpression elimination does NOT fire (conditional branches are
+    # excluded), so an inline ``lower(text)`` was re-lowering the string
+    # once per probe — measured ~2× on the guard pass (r9).
+    base = _feature_cols_from(df, text).withColumn("_lowered", F.lower(text))
     feats = _feats_from_cols()
     full = F.lit(LABELS[0])
     formatting = _ratio_formatting(feats) | text.rlike(P.SYMBOL_RUN)
     full = F.when(formatting, F.lit(FORMATTING_LABEL)).otherwise(full)
-    for label, hit in reversed(_rule_hits(text, F.lower(text))):
+    for label, hit in reversed(_rule_hits(text, F.col("_lowered"))):
         full = F.when(hit, F.lit(label)).otherwise(full)
     labeled = base.withColumn("label", full)
     score_raw = (
@@ -328,5 +341,5 @@ def score_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0.4) * score_raw
     )
     return labeled.withColumn("clean_score", F.bround(damped, 3)).drop(
-        "_n_chars", "_n_letter", "_n_digit", "_n_space"
+        "_n_chars", "_n_letter", "_n_digit", "_n_space", "_lowered"
     )
