@@ -946,8 +946,11 @@ def q_ann_ivf_top5(spark, sf_dir):
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
+    # max_iter=2: at nprobe=nlist the output is centroid-invariant (see
+    # ivf_topk), so the KMeans fit needs only enough iterations to
+    # exercise the machinery, not Spark's default 20 training jobs
     out = ivf_topk(
-        emb, queries, k=5, nlist=8, nprobe=8, seed=42, cos_round=6
+        emb, queries, k=5, nlist=8, nprobe=8, seed=42, cos_round=6, max_iter=2
     )
     return out.select("query_id", "neighbor_id", "rank")
 
@@ -2363,10 +2366,11 @@ _STOP_SUFFIX = "array('the','of','and','that','have','with')"
 
 
 def _structured_docs(spark, sf_dir):
-    # The world-builder below is interpreted-HOF scaffolding; the testdata
-    # parquet is one file → one partition, so spread it across cores first
-    # (the library operators on top remain scan-shaped — no exchange).
-    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    # The world-builder below is interpreted-HOF scaffolding; _docs
+    # already spreads the single-row-group scan across cores (r9 —
+    # the former explicit repartition here would now be a second,
+    # redundant exchange).
+    d = _docs(spark, sf_dir)
     words = (
         f"CASE WHEN doc_id % 2 = 0 THEN concat({_W_WORDS}, {_STOP_SUFFIX}) "
         f"ELSE {_W_WORDS} END"

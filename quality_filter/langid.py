@@ -193,8 +193,20 @@ def score_batch(
         hashes, offsets = ngram.batch_trigram_hashes(vals)
     else:
         hashes, offsets = hashed
+    lang_out, prob_out = _score_hashed(hashes, offsets, len(vals), langs, profiles)
+    return pd.DataFrame({"lang": lang_out, "lang_prob": prob_out})
+
+
+def _score_hashed(
+    hashes: np.ndarray,
+    offsets: np.ndarray,
+    n_rows: int,
+    langs: list[str],
+    profiles: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of ``score_batch`` on precomputed hashes (shared by the
+    pandas and arrow UDF paths; bit-identical by construction)."""
     counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
-    n_rows = len(vals)
     n_langs = profiles.shape[0]
     # Per-language 1-D gather (from an L2-resident 128 KiB profile row)
     # + 1-D reduceat per-row sums.  reduceat is sequential per segment
@@ -219,7 +231,7 @@ def score_batch(
     short = counts < MIN_BYTES
     lang_out[short] = UNKNOWN
     prob_out = np.where(short, 0.0, np.round(prob_out, 3))
-    return pd.DataFrame({"lang": lang_out, "lang_prob": prob_out})
+    return lang_out, prob_out
 
 
 def with_langid(

@@ -73,6 +73,76 @@ def batch_trigram_hashes(texts: list[str] | "np.ndarray") -> tuple[np.ndarray, n
     return h3, offsets
 
 
+def _batch_hashes_from_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``_batch_hashes`` computed directly from a pyarrow String/LargeString
+    array's buffers — bit-identical output (nulls read as ""), with ZERO
+    per-row Python: the UTF-8 bytes already sit concatenated in the Arrow
+    data buffer, so the former str-materialize → re-encode → join round
+    trip (three full copies of the batch text plus one Python object per
+    row) collapses into numpy ops over the existing buffer (r9).
+
+    The global rolling hash uses each row's last-two-bytes context at the
+    two positions that should see the NUL-pad context instead; those are
+    fixed up by two vectorized scatter writes per batch (first and second
+    position of every non-empty row), which is exactly the per-row
+    prefix semantics of ``_batch_hashes``."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    o_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    n = len(arr)
+    if n == 0 or bufs[1] is None:
+        z = np.empty(0, dtype=np.int32)
+        return z, z, np.zeros(n + 1, dtype=np.int64)
+    off = np.frombuffer(bufs[1], dtype=o_dtype, count=n + 1 + arr.offset)[
+        arr.offset:
+    ].astype(np.int64)
+    starts_abs, ends_abs = off[:-1], off[1:]
+    lengths = ends_abs - starts_abs
+    if arr.null_count:
+        valid = pa.compute.is_valid(arr).to_numpy(zero_copy_only=False)
+        lengths = np.where(valid, lengths, 0)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        z = np.empty(0, dtype=np.int32)
+        return z, z, offsets
+    base = int(starts_abs.min())
+    end = int(ends_abs.max())
+    blob = np.frombuffer(bufs[2], dtype=np.uint8, count=end, offset=0)[
+        base:end
+    ].astype(np.int32)
+    pb = np.empty(blob.shape[0] + 2, dtype=np.int32)
+    pb[:2] = 0
+    pb[2:] = blob
+    h2 = (pb[:-2] * _MUL + pb[1:-1]) & _MASK
+    h3 = (h2 * _MUL + blob) & _MASK
+    # per-row context fixups (see docstring): positions relative to base
+    s = (starts_abs - base)[lengths >= 1]
+    h2[s] = 0
+    h3[s] = blob[s]
+    s2 = (starts_abs - base)[lengths >= 2]
+    h2[s2 + 1] = blob[s2]
+    h3[s2 + 1] = (blob[s2] * _MUL + blob[s2 + 1]) & _MASK
+    rel_starts = starts_abs - base
+    if total == blob.shape[0] and bool(np.all(rel_starts == offsets[:-1])):
+        # gapless, null-extent-free layout (the Spark-produced common
+        # case): global position == compacted position
+        return h3, h2, offsets
+    # general layout (sliced arrays, null rows with extents, gaps):
+    # gather each row's span
+    pos = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offsets[:-1], lengths)
+        + np.repeat(rel_starts, lengths)
+    )
+    return h3[pos], h2[pos], offsets
+
+
 def segment_sums(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Sum ``values`` over the row spans described by ``offsets`` along the
     last axis (empty spans → 0.0).  ``values`` may be 1-D (N,) or 2-D

@@ -51,6 +51,18 @@ def score_batch(
     same texts (shared hash pass of the fused scoring UDF)."""
     vals = texts.fillna("").tolist()
     h3, h2, offsets = hashed if hashed is not None else ngram._batch_hashes(vals)
+    return pd.Series(_ppl_hashed(h3, h2, offsets, lp3, lp2))
+
+
+def _ppl_hashed(
+    h3: np.ndarray,
+    h2: np.ndarray,
+    offsets: np.ndarray,
+    lp3: np.ndarray,
+    lp2: np.ndarray,
+) -> np.ndarray:
+    """Core of ``score_batch`` on precomputed hashes (shared by the
+    pandas and arrow UDF paths; bit-identical by construction)."""
     i3 = h3.astype(np.intp, copy=False)  # intp: fast-path fancy index
     i2 = h2.astype(np.intp, copy=False)
     per_pos = lp3[i3] - lp2[i2]  # log P(byte | 2-byte context)
@@ -58,7 +70,7 @@ def score_batch(
     counts = (offsets[1:] - offsets[:-1]).astype(np.float64)
     # mean -log2 prob per byte; empty rows → uniform-byte cost 8 bits
     logppl = np.where(counts > 0, -(sums / np.maximum(counts, 1.0)) / LOG2, 8.0)
-    return pd.Series(np.round(logppl, 3))
+    return np.round(logppl, 3)
 
 
 def train_artifact(

@@ -348,22 +348,14 @@ def clean_pipeline(
         # keep ⟺ the Clean fast-path predicate — filter with the compact
         # predicate BEFORE scoring; survivors are Clean by construction, so
         # the label is a literal and no row ever pays the full regex cascade.
-        # The lowered text is materialized as a column (with the
-        # nondeterministic barrier blocking its re-substitution into the
-        # pushed predicate): inline lower(text) inside the guards' OR
-        # chains re-lowers once per probe — codegen CSE skips conditional
-        # branches (r9, measured ~2× on the guard pass).
-        from quality_filter.rules import score_clean_survivors
+        # r9: the fused lane materializes the char-class counts and the
+        # lowered text once and shares them between the keep predicate
+        # and the score (the predicate path re-derived every count per
+        # evaluation, and inline lower(text) in the guards' OR chains
+        # re-lowered per probe — codegen CSE skips conditional branches).
+        from quality_filter.rules import clean_fastpath_scored
 
-        text = F.coalesce(F.col("text"), F.lit(""))
-        pre = df.withColumn("_lowered", F.lower(text)).withColumn(
-            "_qf_barrier", F.monotonically_increasing_id()
-        )
-        out = score_clean_survivors(
-            pre.filter(
-                clean_fastpath_predicate(text, F.col("_lowered"))
-            ).drop("_lowered", "_qf_barrier")
-        )
+        out = clean_fastpath_scored(df)
     else:
         scored = score_turns(df)
         if score_threshold is not None:

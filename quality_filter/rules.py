@@ -133,13 +133,26 @@ _GUARD_LITERALS: dict[str, list[str]] = {
 # Small per-rule regexes, run on LOWERED text so the rules' (?i) ASCII
 # fold is honoured (the pre-r6 screen ran them case-sensitively on raw
 # text — an uppercase 'X-FOO:' header or all-uppercase letter-only hex32
-# could slip past the screen and mis-label as Clean).
-_GUARD_SMALL: dict[str, str] = {
-    "Contact & Identification Information": r"[0-9]",
+# could slip past the screen and mis-label as Clean).  r9: the [0-9]
+# alternative is split out as a ``translate`` char-map digit test
+# (_has_digit — exactly "a digit is present", several times cheaper than
+# a per-row regex scan) and short-circuits BEFORE the residual regex,
+# so only digit-free guard-miss rows ever pay it.
+_GUARD_SMALL: dict[str, str | None] = {
+    # [0-9] → _has_digit; no residual regex
+    "Contact & Identification Information": None,
     "Technical Specifications & Metadata":
         r"(^(user-agent|content-type|accept-encoding|x-[a-z\-]+):"
-        r"|[0-9]|\b[a-f]{32}\b)",
+        r"|\b[a-f]{32}\b)",
 }
+# rules whose guard includes the digit-presence test (the former [0-9])
+_GUARD_DIGIT = frozenset(_GUARD_SMALL)
+
+
+def _has_digit(lowered: Column) -> Column:
+    return F.length(lowered) != F.length(
+        F.translate(lowered, "0123456789", "")
+    )
 
 
 def _rule_hits(text: Column, lowered: Column) -> list[tuple[str, Column]]:
@@ -150,6 +163,8 @@ def _rule_hits(text: Column, lowered: Column) -> list[tuple[str, Column]]:
         guard = F.lit(False)
         for lit in _GUARD_LITERALS[label]:
             guard = guard | lowered.contains(lit)
+        if label in _GUARD_DIGIT:
+            guard = guard | _has_digit(lowered)
         small = _GUARD_SMALL.get(label)
         if small is not None:
             guard = guard | lowered.rlike(small)
@@ -285,6 +300,37 @@ def clean_fastpath_predicate(
         )
     )
     return ~_defect_hit(text, lowered) & ~ratio_formatting
+
+
+def clean_fastpath_scored(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused remove-all lane (r9): filter to Clean rows AND score them in
+    ONE pass over materialized feature/lowered columns — byte-identical
+    to ``score_clean_survivors(df.filter(clean_fastpath_predicate(...)))``
+    (same expressions), but the char-class counts and the lowered text
+    are computed once instead of once for the predicate and once for the
+    score (the predicate path re-derived them per evaluation).  The
+    nondeterministic barrier column blocks PushDownPredicates from
+    substituting the materialized columns back into the filter."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = (
+        _feature_cols_from(df, text)
+        .withColumn("_lowered", F.lower(text))
+        .withColumn("_qf_barrier", F.monotonically_increasing_id())
+    )
+    feats = _feats_from_cols()
+    keep = ~_defect_hit(text, F.col("_lowered")) & ~_ratio_formatting(feats)
+    kept = base.filter(keep).drop("_lowered", "_qf_barrier")
+    score_raw = (
+        F.lit(W_ALPHA) * feats["alpha_ratio"]
+        + F.lit(W_LEN)
+        * (F.least(feats["n_chars"], F.lit(LEN_NORM)).cast("double") / F.lit(float(LEN_NORM)))
+        + F.lit(W_SYM) * (F.lit(1.0) - feats["symbol_ratio"])
+    )
+    return (
+        kept.withColumn("label", F.lit(LABELS[0]))
+        .withColumn("clean_score", F.bround(score_raw, 3))
+        .drop("_n_chars", "_n_letter", "_n_digit", "_n_space")
+    )
 
 
 def score_clean_survivors(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -12,12 +12,10 @@ reference's single classify pass per batch,
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf
 
 from quality_filter import langid as L
 from quality_filter import perplexity as X
@@ -64,19 +62,29 @@ def with_scores(
     ensure_shipped(spark)
     bc = spark.sparkContext.broadcast((L.build_artifact(), X.build_artifact()))
 
-    @pandas_udf("struct<lang:string, lang_prob:double, logppl:double>")
-    def _score(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    @arrow_udf("struct<lang:string, lang_prob:double, logppl:double>")
+    def _score(arr: pa.Array) -> pa.Array:
         from quality_filter import ngram
 
         (langs, profiles), (lp3, lp2) = bc.value
-        for texts in batches:
-            # hash the batch ONCE; both scorers consume the same arrays
-            # (the batch's UTF-8 encode + rolling hash was previously the
-            # fused path's second-largest cost, paid twice)
-            h3, h2, offsets = ngram._batch_hashes(texts.fillna("").tolist())
-            out = L.score_batch(texts, langs, profiles, hashed=(h3, offsets))
-            out["logppl"] = X.score_batch(texts, lp3, lp2, hashed=(h3, h2, offsets))
-            yield out
+        # r9: hash straight off the Arrow string buffers — the batch's
+        # UTF-8 bytes already sit concatenated in the data buffer, so
+        # the former pandas path's str-materialize → re-encode → join
+        # round trip (three text copies + one Python object per row)
+        # disappears; outputs are bit-identical
+        # (ngram._batch_hashes_from_arrow contract, pinned by test).
+        # Both scorers consume the same hash arrays.
+        h3, h2, offsets = ngram._batch_hashes_from_arrow(arr)
+        lang_out, prob_out = L._score_hashed(h3, offsets, len(arr), langs, profiles)
+        logppl = X._ppl_hashed(h3, h2, offsets, lp3, lp2)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(lang_out, type=pa.string()),
+                pa.array(prob_out, type=pa.float64()),
+                pa.array(logppl, type=pa.float64()),
+            ],
+            ["lang", "lang_prob", "logppl"],
+        )
 
     out = df.withColumn("_sc", _score(F.col(text_col)))
     return (

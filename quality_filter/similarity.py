@@ -273,6 +273,7 @@ def ivf_topk(
     seed: int = 42,
     train_fraction: float = 1.0,
     cos_round: int | None = None,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``nlist`` cells; each corpus vector lives in its nearest cell;
@@ -295,7 +296,14 @@ def ivf_topk(
     )
     if train_fraction < 1.0:
         train = train.sample(train_fraction, seed=seed)
-    model = KMeans(k=nlist, seed=seed).fit(train)
+    km = KMeans(k=nlist, seed=seed)
+    if max_iter is not None:
+        # centroid quality only moves recall at nprobe<nlist; at
+        # nprobe=nlist the result is provably centroid-INVARIANT (every
+        # cell is probed), so exactness-stamped callers cap the iterative
+        # fit instead of paying Spark's default 20 jobs
+        km = km.setMaxIter(max_iter)
+    model = km.fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
 
     c = corpus.select(
