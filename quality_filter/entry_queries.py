@@ -785,13 +785,14 @@ _FULL_SQL = (
 @_register("full_clean_reassemble", _FULL_SQL)
 def q_full_clean_reassemble(spark, sf_dir):
     """Flagship: real rules → filter 'all' → scrub → ordered reassembly."""
+    from quality_filter.rules import barrier_filter
+
     t = derive_turns(spark, sf_dir)
     scored = score_turns(t)
     # pushdown barrier (same idiom as clean_pipeline): without it the
     # filter on `label` is substituted below the projection and the whole
     # regex cascade runs twice per row
-    scored = scored.withColumn("_qf_barrier", F.monotonically_increasing_id())
-    kept = apply_filter_mode(scored, keep_by_label("all")).drop("_qf_barrier")
+    kept = barrier_filter(scored, keep_by_label("all"))
     scrubbed = kept.withColumn("scrubbed_text", scrub_expr(F.col("text")))
     return reassemble(scrubbed, "scrubbed_text").select("conv_id", "text", "n_turns")
 
@@ -2310,8 +2311,21 @@ def q_quality_weighted_docs(spark, sf_dir):
     from quality_filter.sampling import quality_weighted_sample
     from quality_filter.textstats import with_quality_score
 
-    docs = with_quality_score(_docs(spark, sf_dir))
-    return quality_weighted_sample(docs, "quality_score").select(
+    # localCheckpoint barrier (r9): the sample's filter references the
+    # computed score, and pushdown substitutes the whole five-split
+    # score expression into the predicate AND pushes it below the
+    # spread Exchange — the score then evaluated twice per row on the
+    # unspread 2-partition scan (measured ~3.4 s vs ~1 s at sf1.0).  A
+    # nondeterministic barrier column does not survive column pruning
+    # here (the final select drops it, so ColumnPruning removes it
+    # before the pushdown check); materializing the tiny (id, score)
+    # table is the robust barrier.
+    scored = (
+        with_quality_score(_docs(spark, sf_dir))
+        .select("doc_id", "quality_score")
+        .localCheckpoint()
+    )
+    return quality_weighted_sample(scored, "quality_score").select(
         "doc_id", "quality_score"
     )
 

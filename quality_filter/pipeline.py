@@ -366,11 +366,13 @@ def clean_pipeline(
             # pushdown barrier: without it Catalyst substitutes the full
             # label/score expression tree into the filter predicate below
             # the projection, evaluating the regex cascade twice per row
-            # (measured 19 vs 9 RLIKE nodes, ~17 % slower).  The
-            # non-deterministic column blocks PushPredicateThroughNonJoin;
-            # it is dropped immediately after the filter.
-            barred = scored.withColumn("_qf_barrier", F.monotonically_increasing_id())
-            out = apply_filter_mode(barred, keep).drop("_qf_barrier")
+            # (measured 19 vs 9 RLIKE nodes, ~17 % slower).  r9: the
+            # barrier column is folded into the predicate itself
+            # (rules.barrier_filter) — a bare barrier column is pruned
+            # as unreferenced and the pushdown then happens anyway.
+            from quality_filter.rules import barrier_filter
+
+            out = barrier_filter(scored, keep)
         else:
             out = apply_trim_mode(scored, keep, strategy)
     if min_doc_length > 1:

@@ -302,6 +302,25 @@ def clean_fastpath_predicate(
     return ~_defect_hit(text, lowered) & ~ratio_formatting
 
 
+def barrier_filter(df: DataFrame, keep: Column) -> DataFrame:
+    """Filter that provably evaluates HERE — above whatever projections
+    ``df`` carries — instead of being pushed to the scan.
+
+    A bare nondeterministic barrier column does not survive: nothing
+    references it, so ColumnPruning removes it before the pushdown
+    check and PushDownPredicates then substitutes every computed column
+    the predicate touches into a scan-level filter (re-evaluating them
+    per row, and below any repartition — observed undoing both the
+    fused clean lane and the scan spread, r9).  Folding the barrier
+    into the predicate itself — ``keep OR (id < 0)``, vacuously false
+    since monotonically_increasing_id() is non-negative — makes the
+    filter nondeterministic (never pushed) and the column referenced
+    (never pruned).  The OR short-circuits, so kept rows never evaluate
+    the barrier term."""
+    barred = df.withColumn("_qf_barrier", F.monotonically_increasing_id())
+    return barred.filter(keep | (F.col("_qf_barrier") < 0)).drop("_qf_barrier")
+
+
 def clean_fastpath_scored(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Fused remove-all lane (r9): filter to Clean rows AND score them in
     ONE pass over materialized feature/lowered columns — byte-identical
@@ -312,14 +331,10 @@ def clean_fastpath_scored(df: DataFrame, text_col: str = "text") -> DataFrame:
     nondeterministic barrier column blocks PushDownPredicates from
     substituting the materialized columns back into the filter."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    base = (
-        _feature_cols_from(df, text)
-        .withColumn("_lowered", F.lower(text))
-        .withColumn("_qf_barrier", F.monotonically_increasing_id())
-    )
+    base = _feature_cols_from(df, text).withColumn("_lowered", F.lower(text))
     feats = _feats_from_cols()
     keep = ~_defect_hit(text, F.col("_lowered")) & ~_ratio_formatting(feats)
-    kept = base.filter(keep).drop("_lowered", "_qf_barrier")
+    kept = barrier_filter(base, keep).drop("_lowered")
     score_raw = (
         F.lit(W_ALPHA) * feats["alpha_ratio"]
         + F.lit(W_LEN)

@@ -36,12 +36,18 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score_expr(text: Column) -> Column:
+def quality_score_expr(text: Column, words: Column | None = None) -> Column:
     """Heuristic [0,1] doc-quality score: length saturation, stopword
     presence, alpha density, repetition penalty — the doc-level analog of
-    the reference's upstream ``doc_scores`` signal."""
+    the reference's upstream ``doc_scores`` signal.
+
+    ``words`` — optionally a materialized ``split(lower(text), '\\s+')``
+    column: the expression references the word array five times, and an
+    inline split is re-evaluated at every reference (r9 — see
+    ``with_quality_score``)."""
     n_chars = F.length(text)
-    words = F.split(F.lower(text), r"\s+")
+    if words is None:
+        words = F.split(F.lower(text), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     stop_ratio = n_stop.cast("double") / F.greatest(F.lit(1), F.size(words))
@@ -60,8 +66,17 @@ def quality_score_expr(text: Column) -> Column:
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn(
-        "quality_score", quality_score_expr(F.coalesce(F.col(text_col), F.lit("")))
+    """Append ``quality_score``; the word array is materialized in its
+    own column first so the five references inside the score share one
+    split (CollapseProject keeps a non-cheap multiply-referenced alias
+    materialized), then dropped."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        df.withColumn("_qs_words", F.split(F.lower(text), r"\s+"))
+        .withColumn(
+            "quality_score", quality_score_expr(text, F.col("_qs_words"))
+        )
+        .drop("_qs_words")
     )
 
 
