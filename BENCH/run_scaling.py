@@ -162,8 +162,8 @@ Generated by `python BENCH/run_scaling.py` on {date.today().isoformat()}.
 Full hot path on the deterministic synthetic transcript table
 (`quality_filter.synth`, {n_turns:,} turns, 4 skewed 20k-turn
 conversations): scan → Clean fast-path prefilter (per-rule guarded
-screens) → rule scoring → PII scrub → langid+perplexity pandas UDF (one
-fused Arrow pass, one shared hash pass) → parquet sink.  Steady-state: 1 warm-up + best of
+screens) → rule scoring → PII scrub → langid+perplexity arrow_udf (one
+fused zero-copy Arrow-buffer hash pass) → parquet sink.  Steady-state: 1 warm-up + best of
 reps per configuration; each configuration pinned to its core budget
 with `taskset` so an N-core run cannot borrow idle cores for its Python
 workers.

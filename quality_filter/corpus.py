@@ -188,6 +188,14 @@ def build_pretrain_corpus(
 
         deadline = time.monotonic() + timeout
         for stage, obs in observations:
+            # ADVICE r8 #2: ``_jo`` is a private PySpark attribute — if a
+            # version bump renames it, fall back to the blocking
+            # ``obs.get`` below instead of spinning to the misleading
+            # "must be called AFTER materializing" error even though
+            # metrics are available (cluster._checkpoint_with_sig has
+            # the same fallback).
+            if getattr(obs, "_jo", None) is None:
+                continue
             while True:
                 jo = getattr(obs, "_jo", None)
                 if jo is not None and jo.getRowOrEmpty().isDefined():

@@ -2431,6 +2431,12 @@ def _structured_docs(spark, sf_dir):
     return out.localCheckpoint()
 
 
+# NOTE (ADVICE r8 #4, documented rather than changed — the oracle SQL
+# text is fingerprint-frozen): DuckDB/RE2's \s here is [\t\n\f\r ] (no
+# \x0b), while the Spark kernels split on [ \t\n\x0b\f\r]+.  A vertical
+# tab INSIDE a line would diverge the two sides; \x0b does not occur in
+# the stamped worlds (the deterministic world-builders emit none), so
+# the stamp is sound with \x0b explicitly excluded from its domain.
 _D_WORDS = "list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), w -> w <> '')"
 
 _C4WORLD_CTE = (

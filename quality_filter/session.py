@@ -32,7 +32,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2500-row Arrow batches keep a text batch plus the scorers'
+        # per-batch hash/gather working set L2-resident on typical cores
+        # (~200 KB at web-text row sizes) — the r9 32-way probe measured
+        # the fused scorer stage at +18 % vs 10k rows and ~2.4× vs 100k
+        # (BENCH/BASELINE.md batch table).  Cache-residency knob, not a
+        # cluster-size knob; env-overridable for other row shapes.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2500"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")

@@ -153,6 +153,14 @@ def review_synonym_groups(
                     generated[key].extend(members)
                 else:
                     generated[key] = members
+    # Ported reference quirk, kept deliberately (ADVICE r8 #3): in
+    # ``{**generated, **single}`` a single-member group whose medoid name
+    # collides with a reviewer-returned group name OVERWRITES it (the
+    # reviewer's member assignments fall back to identity), exactly as
+    # the reference's dict merge does (label_lines_with_LLM.py:265-271).
+    # The ``key in final`` branch below is therefore unreachable — dict
+    # keys are unique — and exists only to make the intended set-merge
+    # visible if the merge order is ever changed.
     final: dict[str, list[str]] = {}
     for key, value in {**generated, **single}.items():
         if key in final:

@@ -47,10 +47,14 @@ def _rows_sorted(cols, rows):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--queries", required=True)
+    ap.add_argument("--queries", default="all")
+    ap.add_argument("--json-out", default="", help="append results to this JSON artifact")
     args = ap.parse_args()
 
-    names = [n for n in args.queries.split(",") if n]
+    if args.queries == "all":
+        names = list(entry_mod.oracle_sql())
+    else:
+        names = [n for n in args.queries.split(",") if n]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
@@ -58,6 +62,7 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     queries = entry_mod.queries()
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
         sdf = queries[name](spark, args.sf)
         scols = [c.lower() for c in sdf.columns]
@@ -71,10 +76,31 @@ def main() -> None:
             b = _rows_sorted(dcols, drows)
             mism = [(x, y) for x, y in zip(a, b) if x != y]
             ok = not mism
+        results[name] = {"ok": bool(ok), "rows": len(srows)}
         print(f"{name}: {'OK' if ok else 'FAIL'} ({len(srows)} rows)", flush=True)
         if not ok:
             failed.append(name)
     spark.stop()
+    if args.json_out:
+        import json
+        import subprocess
+
+        path = Path(args.json_out)
+        art = json.loads(path.read_text()) if path.exists() else {}
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=Path(__file__).resolve().parent.parent,
+            capture_output=True, text=True,
+        ).stdout.strip()
+        sf_key = args.sf.rstrip("/").rsplit("sf", 1)[-1]
+        art[sf_key] = {
+            "sf_dir": args.sf,
+            "tree_commit": commit,
+            "check": "exact sorted-row equality vs DuckDB oracle "
+                     "(strictly stronger than the driver's value hash)",
+            "results": results,
+        }
+        path.write_text(json.dumps(art, indent=1, sort_keys=True) + "\n")
     if failed:
         print(f"FAILED: {failed}")
         sys.exit(1)
