@@ -50,10 +50,14 @@ def main() -> None:
     )
     sections.append((
         "Headline clean pipeline (filter-all)",
-        "ZERO exchanges: one narrow stage scan→prefilter→score→scrub "
-        "(the empty-conversation gate is provably elided in remove-all "
-        "mode), ArrowEvalPython once (fused langid+perplexity), everything "
-        "else inside WholeStageCodegen.",
+        "One narrow stage scan→prefilter→score→scrub (the "
+        "empty-conversation gate is provably elided in remove-all mode), "
+        "ArrowEvalPython once (fused langid+perplexity), everything else "
+        "inside WholeStageCodegen.  The single RoundRobin Exchange under "
+        "the turn derivation is the r9 scale-adaptive scan spread — it "
+        "fires only because this sample reads the one-row-group testdata "
+        "parquet; the bench headline's 64-split transcript input takes "
+        "the no-op branch and keeps ZERO exchanges.",
         plan_of(headline),
     ))
 
