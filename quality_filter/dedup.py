@@ -666,7 +666,14 @@ def duplicated_span_marks(
             )
         )
     elif grams == "hof":
-        w = F.split(F.col(text_col), " ")
+        # split hoisted into its own projection under the posexplode
+        # (r9): the transform lambda captures the word array, and a
+        # captured expression is re-evaluated per element — the inline
+        # split was O(words²) per document (see word_shingles_from_words)
+        pre = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+        )
+        w = F.col("_w")
         n = F.size(w) - (k - 1)
         gram_arr = F.when(
             n >= 1,
@@ -675,7 +682,7 @@ def duplicated_span_marks(
                 lambda i: F.xxhash64(F.array_join(F.slice(w, i, k), " ")),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
-        occ = df.select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gh"))
+        occ = pre.select(F.col(id_col), F.posexplode(gram_arr).alias("pos", "gh"))
     else:
         raise ValueError(f"unknown grams strategy {grams!r}")
     info = occ.groupBy("gh").agg(

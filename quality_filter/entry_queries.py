@@ -1852,10 +1852,17 @@ def q_substring_dedup_docs(spark, sf_dir):
     its document.  Canonical selection is a map-side-combinable
     min-struct aggregate (no per-gram window — boilerplate grams with
     millions of occurrences reduce in the combiner); reassembly is
-    explode → anti-join → ordered group-concat, all keyed on doc_id."""
+    explode → anti-join → ordered group-concat, all keyed on doc_id.
+
+    grams='hof' (r9): the composed op measured 3.2 vs 5.3 s at sf1.0 —
+    the hof marking path (split hoisted r9) skips the window strategy's
+    extra shuffle+sort of the word stream, which pays off whenever no
+    document approaches segment_size; the window strategy remains the
+    library default for corpora with 10⁷-word documents.  Output
+    identical (strategy parity pinned by tests/test_round6.py)."""
     from quality_filter.dedup import substring_dedup
 
-    return substring_dedup(_docs(spark, sf_dir), k=5)
+    return substring_dedup(_docs(spark, sf_dir), k=5, grams="hof")
 
 
 @_register(
