@@ -17,9 +17,10 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from quality_filter import ngram
 
@@ -239,10 +240,12 @@ def with_langid(
     text_col: str = "text",
     artifact: tuple[list[str], np.ndarray] | None = None,
 ) -> DataFrame:
-    """Append ``lang`` / ``lang_prob`` columns via a SCALAR_ITER pandas UDF
-    (model loaded once per executor python worker, broadcast artifact).
-    ``artifact`` swaps in a corpus-trained model from ``train_profiles``
-    (default: the embedded multilingual seed model)."""
+    """Append ``lang`` / ``lang_prob`` columns via a batched Arrow UDF
+    (model loaded once per executor python worker, broadcast artifact;
+    r9 — hashes straight off the Arrow string buffers, see
+    ngram._batch_hashes_from_arrow; bit-identical to the former pandas
+    path).  ``artifact`` swaps in a corpus-trained model from
+    ``train_profiles`` (default: the embedded multilingual seed model)."""
     spark = df.sparkSession
     from quality_filter.shipping import ensure_shipped
 
@@ -250,11 +253,18 @@ def with_langid(
     langs, profiles = build_artifact() if artifact is None else artifact
     bc = spark.sparkContext.broadcast((langs, profiles))
 
-    @pandas_udf("struct<lang:string, lang_prob:double>")
-    def _langid(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    @arrow_udf("struct<lang:string, lang_prob:double>")
+    def _langid(arr: pa.Array) -> pa.Array:
         langs_, profiles_ = bc.value
-        for texts in batches:
-            yield score_batch(texts, langs_, profiles_)
+        h3, _, offsets = ngram._batch_hashes_from_arrow(arr)
+        lang_out, prob_out = _score_hashed(h3, offsets, len(arr), langs_, profiles_)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(lang_out, type=pa.string()),
+                pa.array(prob_out, type=pa.float64()),
+            ],
+            ["lang", "lang_prob"],
+        )
 
     out = df.withColumn("_lid", _langid(F.col(text_col)))
     return (

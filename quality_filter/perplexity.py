@@ -16,9 +16,10 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 from quality_filter import ngram
 from quality_filter.langid import SEED_CORPORA
@@ -148,7 +149,10 @@ def with_perplexity(
 ) -> DataFrame:
     """Append a ``logppl`` column (double, bits per byte).  ``artifact``
     swaps in a corpus-trained model from ``train_artifact`` (default:
-    the embedded multilingual seed model)."""
+    the embedded multilingual seed model).  r9: batched Arrow UDF
+    hashing straight off the Arrow string buffers
+    (ngram._batch_hashes_from_arrow) — bit-identical to the former
+    pandas path."""
     spark = df.sparkSession
     from quality_filter.shipping import ensure_shipped
 
@@ -157,11 +161,11 @@ def with_perplexity(
         build_artifact() if artifact is None else artifact
     )
 
-    @pandas_udf("double")
-    def _ppl(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    @arrow_udf("double")
+    def _ppl(arr: pa.Array) -> pa.Array:
         lp3, lp2 = bc.value
-        for texts in batches:
-            yield score_batch(texts, lp3, lp2)
+        h3, h2, offsets = ngram._batch_hashes_from_arrow(arr)
+        return pa.array(_ppl_hashed(h3, h2, offsets, lp3, lp2), type=pa.float64())
 
     return df.withColumn("logppl", _ppl(F.col(text_col)))
 

@@ -127,6 +127,27 @@ def test_with_scores_arrow_matches_pandas_reference(spark, transcripts):
         assert r["logppl"] == ref["logppl"][i]
 
 
+def test_with_langid_and_perplexity_arrow_match_reference(spark, transcripts):
+    import pandas as pd
+
+    from quality_filter import langid as L
+    from quality_filter import perplexity as X
+
+    base = transcripts.select("conv_id", "turn_idx", "text")
+    rows = X.with_perplexity(L.with_langid(base)).select(
+        "text", "lang", "lang_prob", "logppl"
+    ).collect()
+    texts = pd.Series([r["text"] for r in rows])
+    langs, profiles = L.build_artifact()
+    ref = L.score_batch(texts, langs, profiles)
+    lp3, lp2 = X.build_artifact()
+    ref["logppl"] = X.score_batch(texts, lp3, lp2)
+    for i, r in enumerate(rows):
+        assert r["lang"] == ref["lang"][i]
+        assert r["lang_prob"] == ref["lang_prob"][i]
+        assert r["logppl"] == ref["logppl"][i]
+
+
 def test_has_digit_equals_regex_probe(spark):
     from pyspark.sql import functions as F
 
