@@ -82,9 +82,21 @@ def connected_components(
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     from pyspark import StorageLevel
 
+    # both directions via one explode, NOT union(edges, edges.swapped):
+    # the union form plans and EXECUTES the whole upstream pair pipeline
+    # (LSH band join / SRP bucketing / exact verify) once per branch when
+    # ``und`` first materializes — the explode derives both orientations
+    # from a single pass and halves the candidate-stage plan tree
     und = (
-        edges.select(F.col(a_col).alias("_s"), F.col(b_col).alias("_d"))
-        .union(edges.select(F.col(b_col).alias("_s"), F.col(a_col).alias("_d")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("_s"), F.col(b_col).alias("_d")),
+                    F.struct(F.col(b_col).alias("_s"), F.col(a_col).alias("_d")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e._s").alias("_s"), F.col("_e._d").alias("_d"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

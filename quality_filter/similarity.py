@@ -71,16 +71,25 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
 
 
 def srp_bucket(vec_col, planes: list[list[float]]):
-    """Sign-random-projection bucket id: one bit per hyperplane."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = _dot(vec_col, lit_plane)
-        bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    """Sign-random-projection bucket id: one bit per hyperplane.
+
+    Tree-size note: each plane is a single ArrayType Literal node (not a
+    dim-wide CreateArray) and the per-plane projections fold into one
+    nested HOF over the plane array instead of ``n_bits`` unrolled
+    aggregates — at (n_bits=8, dim=64) × n_tables the unrolled form made
+    Catalyst analysis/optimization of the bucketing projection cost ~3×
+    the execution it planned.  The per-plane arithmetic is unchanged
+    (same zip_with product + sequential double fold), so bucket ids are
+    bit-identical."""
+    planes_arr = F.array(*[F.lit(np.asarray(p, dtype="float64")) for p in planes])
+    projs = F.transform(planes_arr, lambda pl: _dot(vec_col, pl))
+    bits = F.transform(
+        projs,
+        lambda p, i: F.when(
+            p >= 0, F.call_function("shiftleft", F.lit(1), i)
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
 
 
 def embedding_near_dups(
@@ -237,12 +246,12 @@ def lsh_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _sqdist(vec_col, center: list[float]):
-    """Squared L2 distance to a broadcast centroid literal."""
-    lit_c = F.array(*[F.lit(float(x)) for x in center])
+def _sqdist(vec_col, center):
+    """Squared L2 distance to a centroid (an ``array<double>`` column —
+    the callers bind centroids as single ArrayType literals)."""
     return F.aggregate(
         F.zip_with(
-            vec_col, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            vec_col, center, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -252,12 +261,14 @@ def _sqdist(vec_col, center: list[float]):
 def _nearest_centroids(vec_col, centers: list[list[float]], n: int):
     """Array of the ``n`` nearest centroid ids (broadcast centroid
     literals, argmin via array_sort of (dist, cid) structs — pure
-    Catalyst, no model object on the executors)."""
-    ds = F.array(
-        *[
-            F.struct(_sqdist(vec_col, c).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centers)
-        ]
+    Catalyst, no model object on the executors).  Centroids ride as one
+    array-of-array-literal with the distance fold as a single nested HOF
+    (same per-centroid arithmetic as the former unrolled form, ~nlist×
+    smaller plan tree — see srp_bucket)."""
+    centers_arr = F.array(*[F.lit(np.asarray(c, dtype="float64")) for c in centers])
+    ds = F.transform(
+        centers_arr,
+        lambda c, i: F.struct(_sqdist(vec_col, c).alias("d"), i.alias("cid")),
     )
     return F.transform(F.slice(F.array_sort(ds), 1, n), lambda s: s["cid"])
 
