@@ -106,12 +106,20 @@ def connected_components(
         # singletons are re-attached by one left join at the end — every
         # per-iteration shuffle scales with the near-dup subgraph
         # (typically ≪ corpus after exact dedup), not the corpus.
+        #
+        # r9: the initial assignment labels0(v)=v makes iteration 0's
+        # message join an identity — msgs0 = und itself read as
+        # (_d, _s-as-label) — so the labels0 checkpoint job AND the first
+        # edges⋈labels shuffle join fold into one union-groupBy that
+        # produces labels1 directly (both union branches scan the same
+        # persisted edge RDD, whose shuffle dependency runs once).
         labels, sig = _checkpoint_with_sig(
-            und.select(F.col("_s").alias("_v"))
-            .distinct()
-            .select("_v", F.col("_v").alias("_lbl"))
+            und.select(F.col("_s").alias("_v"), F.col("_s").alias("_lbl"))
+            .union(und.select(F.col("_d").alias("_v"), F.col("_s").alias("_lbl")))
+            .groupBy("_v")
+            .agg(F.min("_lbl").alias("_lbl"))
         )
-        for it in range(max_iter):
+        for it in range(1, max_iter):
             msgs = und.join(labels, und["_s"] == labels["_v"]).select(
                 F.col("_d").alias("_v"), F.col("_lbl")
             )
