@@ -947,11 +947,13 @@ def q_ann_ivf_top5(spark, sf_dir):
 
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
-    # max_iter=2: at nprobe=nlist the output is centroid-invariant (see
-    # ivf_topk), so the KMeans fit needs only enough iterations to
-    # exercise the machinery, not Spark's default 20 training jobs
+    # max_iter=2 / init_mode='random': at nprobe=nlist the output is
+    # centroid-invariant (see ivf_topk), so the KMeans fit needs only
+    # enough work to exercise the machinery — not Spark's default 20
+    # training jobs nor k-means||'s multi-pass distributed seeding
     out = ivf_topk(
-        emb, queries, k=5, nlist=8, nprobe=8, seed=42, cos_round=6, max_iter=2
+        emb, queries, k=5, nlist=8, nprobe=8, seed=42, cos_round=6, max_iter=2,
+        init_mode="random",
     )
     return out.select("query_id", "neighbor_id", "rank")
 

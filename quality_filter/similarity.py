@@ -285,6 +285,7 @@ def ivf_topk(
     train_fraction: float = 1.0,
     cos_round: int | None = None,
     max_iter: int | None = None,
+    init_mode: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans partitions the corpus
     into ``nlist`` cells; each corpus vector lives in its nearest cell;
@@ -308,6 +309,12 @@ def ivf_topk(
     if train_fraction < 1.0:
         train = train.sample(train_fraction, seed=seed)
     km = KMeans(k=nlist, seed=seed)
+    if init_mode is not None:
+        # same centroid-invariance rationale as max_iter below: at
+        # nprobe=nlist the result does not depend on the fitted centers,
+        # so exactness-stamped callers skip k-means||'s multi-pass
+        # distributed seeding ('random' = one takeSample job)
+        km = km.setInitMode(init_mode)
     if max_iter is not None:
         # centroid quality only moves recall at nprobe<nlist; at
         # nprobe=nlist the result is provably centroid-INVARIANT (every

@@ -148,6 +148,106 @@ def test_with_langid_and_perplexity_arrow_match_reference(spark, transcripts):
         assert r["logppl"] == ref["logppl"][i]
 
 
+def test_srp_bucket_matches_unrolled(spark):
+    """The nested-HOF srp_bucket (one array-of-plane-literals transform)
+    is value-identical to the unrolled per-plane aggregate form it
+    replaced — same zip_with product, same sequential double fold."""
+    from pyspark.sql import functions as F
+
+    from quality_filter.similarity import _dot, _hyperplanes, srp_bucket
+
+    rng = np.random.RandomState(7)
+    vecs = [[float(np.float32(x)) for x in rng.randn(16)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<float>"
+    )
+    planes = _hyperplanes(16, 6, seed=123)
+
+    def unrolled(vec_col):
+        bits = []
+        for i, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            proj = _dot(vec_col, lit_plane)
+            bits.append(F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    rows = df.select(
+        srp_bucket(F.col("v"), planes).alias("a"),
+        unrolled(F.col("v")).alias("b"),
+    ).collect()
+    assert rows and all(r["a"] == r["b"] for r in rows)
+
+
+def test_nearest_centroids_matches_unrolled(spark):
+    """_nearest_centroids' transform-over-centroid-literals form equals
+    the former unrolled array-of-structs argmin."""
+    from pyspark.sql import functions as F
+
+    from quality_filter.similarity import _nearest_centroids, _sqdist
+
+    rng = np.random.RandomState(11)
+    vecs = [[float(np.float32(x)) for x in rng.randn(8)] for _ in range(30)]
+    centers = [list(map(float, rng.randn(8))) for _ in range(5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<float>"
+    )
+
+    def unrolled(vec_col, n):
+        ds = F.array(
+            *[
+                F.struct(
+                    _sqdist(
+                        vec_col, F.array(*[F.lit(float(x)) for x in c])
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        return F.transform(F.slice(F.array_sort(ds), 1, n), lambda s: s["cid"])
+
+    rows = df.select(
+        _nearest_centroids(F.col("v"), centers, 3).alias("a"),
+        unrolled(F.col("v"), 3).alias("b"),
+    ).collect()
+    assert rows and all(list(r["a"]) == list(r["b"]) for r in rows)
+
+
+def test_cc_fused_first_round_chain_and_empty(spark):
+    """connected_components with the fused first propagation round: a
+    diameter-3 chain still converges to the component minimum (exercising
+    the loop past the fused round), singletons keep self-labels, an empty
+    edge set yields all-singletons, and mixed edge orientations behave
+    as undirected."""
+    from pyspark.sql import functions as F
+
+    from quality_filter.cluster import connected_components
+
+    nodes = spark.range(8).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (6, 5), (5, 6)], ["a", "b"]
+    )
+    stats: dict = {}
+    got = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(nodes, edges, stats=stats).collect()
+    )
+    assert got == [
+        (0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 5), (6, 5), (7, 7)
+    ]
+    assert stats["iterations"] >= 2  # chain needs rounds beyond the fused one
+
+    empty = edges.filter(F.lit(False))
+    got2 = sorted(
+        (r["doc_id"], r["cluster_rep"])
+        for r in connected_components(nodes, empty).collect()
+    )
+    assert got2 == [(i, i) for i in range(8)]
+
+
 def test_has_digit_equals_regex_probe(spark):
     from pyspark.sql import functions as F
 
